@@ -1,0 +1,234 @@
+"""The batched driving environment: the TPU-native Nocturne replacement.
+
+One ``WaymoEnv.step`` advances every agent of every scene in lockstep:
+
+    reference control flow (per scene, per step, Python<->C++ crossings:
+    policy_evaluator.py:514-542 -> pybind -> Scenario::Step,
+    PhysicsSimulation::Step, UpdateCollision)
+
+    here: pure function [E, A, ...] -> [E, A, ...], fully inside jit, vmapped
+    collision + reward, no host synchronization anywhere in the rollout.
+
+State/stepping semantics replicated from the reference:
+
+- per-agent control modes: expert log-replay teleport (scenario.cc:277-283),
+  FreeCar physics or kinematic bicycle for controlled agents
+  (sim.dynamics config),
+- dead agents pinned at the (-1e6, -1e6) sentinel
+  (autoregressive_policy.py:263),
+- collision flags recomputed from scratch every step after dynamics
+  (scenario.cc:266-296),
+- sticky position-goal-achieved reward bit carried in env state
+  (utils/sim.py:97-102).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ctrl_sim_tpu.config import Config
+from ctrl_sim_tpu.data.scenario import DEAD_POSITION, Scenario
+from ctrl_sim_tpu.env.collision import detect_collisions
+from ctrl_sim_tpu.env.dynamics import (
+    BodyState,
+    body_state_from_pose,
+    freecar_step,
+    kinematic_bicycle_step,
+)
+from ctrl_sim_tpu.env.rewards import compute_reward8
+
+Array = jax.Array
+
+
+class EnvState(NamedTuple):
+    """Dynamic state of a batch of scenes. All arrays lead with [E, A]."""
+
+    bodies: BodyState  # physics bodies (positions [E, A, 2], ...)
+    t: Array  # scalar int32 — current timestep (same across envs)
+    veh_veh_collision: Array  # [E, A] bool — flags from last UpdateCollision
+    veh_edge_collision: Array  # [E, A] bool
+    position_achieved: Array  # [E, A] bool — sticky goal bit
+    alive: Array  # [E, A] bool — existence chain (once dead, stays dead)
+
+
+class StepOutput(NamedTuple):
+    reward8: Array  # [E, A, 8] — reward at the *pre-step* state
+    position: Array  # [E, A, 2] — post-step positions
+    heading: Array  # [E, A]
+    speed: Array  # [E, A]
+    velocity: Array  # [E, A, 2]
+
+
+class WaymoEnv:
+    """Functional batched environment. Methods are pure; wrap in jit/vmap."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+
+    # ------------------------------------------------------------------
+    def reset(self, scenario: Scenario, start_time: int = 0) -> EnvState:
+        """Initialize bodies from the GT trajectory at ``start_time`` and run
+        the initial collision pass (scenario.cc:254-258)."""
+        pos = jnp.asarray(scenario.traj_position[:, :, start_time])
+        heading = jnp.asarray(scenario.traj_heading[:, :, start_time])
+        speed = jnp.asarray(scenario.traj_speed[:, :, start_time])
+        bodies = body_state_from_pose(pos, heading, speed)
+        alive = jnp.asarray(scenario.traj_valid[:, :, start_time]) & jnp.asarray(
+            scenario.agent_valid
+        )
+        veh_veh, veh_edge = self._collisions(scenario, bodies)
+        return EnvState(
+            bodies=bodies,
+            t=jnp.asarray(start_time, dtype=jnp.int32),
+            veh_veh_collision=veh_veh,
+            veh_edge_collision=veh_edge,
+            position_achieved=jnp.zeros_like(alive),
+            alive=alive,
+        )
+
+    # ------------------------------------------------------------------
+    def _collisions(self, scenario: Scenario, bodies: BodyState):
+        return jax.vmap(detect_collisions)(
+            bodies.position,
+            bodies.heading,
+            jnp.asarray(scenario.length),
+            jnp.asarray(scenario.width),
+            jnp.asarray(scenario.agent_valid),
+            jnp.asarray(scenario.edge_seg_p0),
+            jnp.asarray(scenario.edge_seg_p1),
+            jnp.asarray(scenario.edge_seg_valid),
+        )
+
+    # ------------------------------------------------------------------
+    def reward(self, scenario: Scenario, state: EnvState) -> tuple[Array, EnvState]:
+        """Compute the 8-component reward at the current state and update the
+        sticky goal bit (called before stepping, like
+        policy_evaluator.py:515 -> utils/sim.py:83)."""
+        reward8, position_achieved = compute_reward8(
+            state.bodies.position,
+            state.bodies.speed,
+            state.bodies.heading,
+            jnp.asarray(scenario.goal_position),
+            jnp.asarray(scenario.goal_speed),
+            jnp.asarray(scenario.goal_heading),
+            jnp.asarray(scenario.goal_dist_normalizer),
+            state.position_achieved,
+            state.veh_veh_collision,
+            state.veh_edge_collision,
+            self.cfg.sim.rewards,
+        )
+        return reward8, state._replace(position_achieved=position_achieved)
+
+    # ------------------------------------------------------------------
+    def step(
+        self,
+        scenario: Scenario,
+        state: EnvState,
+        acceleration: Array,  # [E, A]
+        steering: Array,  # [E, A]
+        expert_mask: Array,  # [E, A] bool — log-replay teleport agents
+        alive_next: Array,  # [E, A] bool — existence after this transition
+    ) -> tuple[EnvState, StepOutput]:
+        """Advance all scenes by dt.
+
+        ``alive_next`` encodes the reference's existence chaining: the caller
+        derives it from the GT validity stream (gt[t+1] for replay agents;
+        gt[t] chain for policy agents — see evaluator.py:160-173 and
+        policy_evaluator.py:118-121). Dead agents are pinned at the sentinel
+        position with zeroed velocity.
+        """
+        sim = self.cfg.sim
+        bodies = state.bodies
+        t_next = state.t + 1
+
+        if sim.dynamics == "physics":
+            stepped = freecar_step(
+                bodies,
+                acceleration,
+                steering,
+                jnp.asarray(scenario.length),
+                sim.dt,
+                sim.physics,
+            )
+        elif sim.dynamics == "kinematic":
+            new_pos, new_heading, new_speed = kinematic_bicycle_step(
+                bodies.position,
+                bodies.heading,
+                bodies.speed,
+                acceleration,
+                steering,
+                jnp.asarray(scenario.length),
+                sim.dt,
+            )
+            velocity = new_speed[..., None] * jnp.stack(
+                [jnp.cos(new_heading), jnp.sin(new_heading)], axis=-1
+            )
+            stepped = BodyState(
+                position=new_pos,
+                heading=new_heading,
+                speed=new_speed,
+                velocity=velocity,
+                angular_velocity=bodies.angular_velocity,
+                throttle_accel=bodies.throttle_accel,
+                brake_accel=bodies.brake_accel,
+            )
+        else:
+            raise ValueError(f"unknown dynamics contract {sim.dynamics!r}")
+
+        # expert log-replay teleport (scenario.cc:277-283): pose from the GT
+        # trajectory at the *new* time; velocity mirrored into the body the
+        # way Vehicle setters do (vehicle.cc:75-107).
+        T1 = scenario.traj_position.shape[2]
+        t_idx = jnp.minimum(t_next, T1 - 1)
+        gt_pos = jnp.asarray(scenario.traj_position)[:, :, t_idx]
+        gt_heading = jnp.asarray(scenario.traj_heading)[:, :, t_idx]
+        gt_speed = jnp.asarray(scenario.traj_speed)[:, :, t_idx]
+        gt_bodies = body_state_from_pose(gt_pos, gt_heading, gt_speed)
+
+        em = expert_mask
+        merged = BodyState(
+            position=jnp.where(em[..., None], gt_bodies.position, stepped.position),
+            heading=jnp.where(em, gt_bodies.heading, stepped.heading),
+            speed=jnp.where(em, gt_bodies.speed, stepped.speed),
+            velocity=jnp.where(em[..., None], gt_bodies.velocity, stepped.velocity),
+            angular_velocity=jnp.where(
+                em, gt_bodies.angular_velocity, stepped.angular_velocity
+            ),
+            throttle_accel=jnp.where(em, 0.0, stepped.throttle_accel),
+            brake_accel=jnp.where(em, 0.0, stepped.brake_accel),
+        )
+
+        # dead agents: pin to sentinel (autoregressive_policy.py:263)
+        dead = ~alive_next
+        sentinel = jnp.full_like(merged.position, DEAD_POSITION)
+        merged = BodyState(
+            position=jnp.where(dead[..., None], sentinel, merged.position),
+            heading=jnp.where(dead, merged.heading, merged.heading),
+            speed=jnp.where(dead, 0.0, merged.speed),
+            velocity=jnp.where(dead[..., None], 0.0, merged.velocity),
+            angular_velocity=jnp.where(dead, 0.0, merged.angular_velocity),
+            throttle_accel=jnp.where(dead, 0.0, merged.throttle_accel),
+            brake_accel=jnp.where(dead, 0.0, merged.brake_accel),
+        )
+
+        veh_veh, veh_edge = self._collisions(scenario, merged)
+
+        new_state = EnvState(
+            bodies=merged,
+            t=t_next,
+            veh_veh_collision=veh_veh,
+            veh_edge_collision=veh_edge,
+            position_achieved=state.position_achieved,
+            alive=alive_next,
+        )
+        out = StepOutput(
+            reward8=jnp.zeros(()),  # rewards are computed via .reward()
+            position=merged.position,
+            heading=merged.heading,
+            speed=merged.speed,
+            velocity=merged.velocity,
+        )
+        return new_state, out

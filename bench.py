@@ -1,0 +1,113 @@
+"""Benchmark: closed-loop policy rollout throughput (BASELINE config 3).
+
+Measures env-steps/s for the full CtRL-Sim policy rollout — two transformer
+passes + tilted RTG sampling + action sampling + FreeCar dynamics + collision
++ rewards per step — batched over parallel Waymo-format scenarios on one
+chip. Prints ONE JSON line:
+
+  {"metric": "env_steps_per_sec", "value": N, "unit": "env-steps/s/chip",
+   "vs_baseline": N / 100000}
+
+Baseline target (BASELINE.md): >= 100,000 env-steps/s/host at 1024 parallel
+scenarios.
+
+Knobs via env vars: BENCH_ENVS (default 1024), BENCH_CHUNK (lanes per jitted
+rollout call, default 32), BENCH_MODE (exact|streaming).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ctrl_sim_tpu.config import load_config
+    from ctrl_sim_tpu.data import stack_scenarios, synthetic_scenario
+    from ctrl_sim_tpu.data.scenario import Scenario
+    from ctrl_sim_tpu.data.transforms import get_tilt_logits
+    from ctrl_sim_tpu.models.ctrl_sim import CtRLSim
+    from ctrl_sim_tpu.rollout.rollout import run_closed_loop
+
+    total_envs = int(os.environ.get("BENCH_ENVS", "1024"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "32"))
+    mode = os.environ.get("BENCH_MODE", "exact")
+
+    cfg = load_config()
+    steps = cfg.sim.steps
+
+    # one chunk of synthetic scenes, reused for every chunk (same shapes; the
+    # timing is shape-driven, content-independent)
+    print(f"[bench] building {chunk} scenarios ...", file=sys.stderr)
+    scenes = [
+        synthetic_scenario(cfg, seed=s, num_agents=12, arena_half=300.0)
+        for s in range(chunk)
+    ]
+    sb = stack_scenarios(scenes, cfg)
+    sb = Scenario(
+        **{
+            k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+            for k, v in dataclasses.asdict(sb).items()
+        }
+    )
+
+    model = CtRLSim(cfg)
+    # init params from a minimal rollout-shaped batch
+    from ctrl_sim_tpu.data.datagen import generate_offline_data
+    from ctrl_sim_tpu.data.pipeline import build_train_batch
+
+    print("[bench] initializing model ...", file=sys.stderr)
+    offline = generate_offline_data(cfg, sb)
+    tb = build_train_batch(cfg, jax.random.PRNGKey(0), sb, offline)
+    params = model.init({"params": jax.random.PRNGKey(0)}, tb)
+
+    controlled = jnp.asarray(sb.moving) & jnp.asarray(sb.agent_valid)
+    tilt = jnp.asarray(get_tilt_logits(0.0, 0.0, 0.0, cfg.waymo))
+
+    rollout = jax.jit(
+        lambda p, c, r: run_closed_loop(cfg, model, p, sb, c, r, tilt)
+    )
+
+    print("[bench] compiling rollout ...", file=sys.stderr)
+    t0 = time.time()
+    out = jax.block_until_ready(rollout(params, controlled, jax.random.PRNGKey(1)))
+    compile_s = time.time() - t0
+    print(f"[bench] compile+first run: {compile_s:.1f}s", file=sys.stderr)
+
+    n_chunks = max(total_envs // chunk, 1)
+    t0 = time.time()
+    for i in range(n_chunks):
+        out = rollout(params, controlled, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(out)
+    elapsed = time.time() - t0
+
+    env_steps = n_chunks * chunk * steps
+    eps = env_steps / elapsed
+    result = {
+        "metric": "env_steps_per_sec",
+        "value": round(eps, 1),
+        "unit": "env-steps/s/chip",
+        "vs_baseline": round(eps / 100_000.0, 4),
+        "detail": {
+            "mode": mode,
+            "envs": n_chunks * chunk,
+            "chunk": chunk,
+            "steps": steps,
+            "elapsed_s": round(elapsed, 2),
+            "compile_s": round(compile_s, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,337 @@
+"""Streaming closed-loop rollout: incremental KV-cached decoding.
+
+The exact-mode rollout (rollout.py) re-normalizes and re-decodes the full
+2304-token window twice per env step — faithful to the reference but
+~50x more FLOPs than necessary. This path exploits the autoregressive
+structure:
+
+- the normalization frame is fixed per lane (origin agent pose at episode
+  start), so past token embeddings never change;
+- the cross-attention memory (map polylines + initial states) is encoded
+  once per episode;
+- each env step appends only 3*A new tokens (state -> rtg -> action) against
+  a ring-buffer KV cache, with the multi-agent causal predicate evaluated
+  blockwise against the cache's slot->timestep map;
+- the sliding 32-step context becomes a window constraint in the mask
+  instead of a re-built input.
+
+Cost per step: O(3*A*window*A*K) attention + O(3*A) projections, vs
+O((T*A*K)^2) full re-decode — the difference between ~2k and ~100k
+env-steps/s per chip.
+
+Semantics deviation vs the reference (documented): the frame is anchored at
+episode start rather than re-anchored at each window start, and agent slots
+are not re-sorted when agents leave the 60 m radius. Models intended for
+streaming eval should train with ``episode-start`` normalization (the
+training pipeline flag); the exact-mode path remains for reference-parity
+evaluation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ctrl_sim_tpu.config import Config
+from ctrl_sim_tpu.data import transforms as tf
+from ctrl_sim_tpu.data.pipeline import goals_from_scenario
+from ctrl_sim_tpu.data.scenario import Scenario
+from ctrl_sim_tpu.env.dynamics import inverse_bicycle_action
+from ctrl_sim_tpu.env.env import EnvState, WaymoEnv
+from ctrl_sim_tpu.geometry import angle_sub, apply_se2
+from ctrl_sim_tpu.models.decoder import KVCache
+from ctrl_sim_tpu.rollout.policy import sample_actions, sample_tilted_rtgs
+from ctrl_sim_tpu.rollout.rollout import RolloutOutput, select_focal_agents
+
+Array = jax.Array
+
+
+class _Frame(NamedTuple):
+    """Per-lane fixed SE(2) normalization frame."""
+
+    translation: Array  # [E, 2]
+    rotation: Array  # [E]
+
+
+def _make_frame(origin_pos: Array, origin_yaw: Array) -> _Frame:
+    """normalize_scene's frame (dataset.py:390-394): rotate by
+    pi/2 + sign(-yaw)*|yaw| about the origin agent's position."""
+    rot = (jnp.pi / 2) + jnp.sign(-origin_yaw) * jnp.abs(origin_yaw)
+    return _Frame(translation=origin_pos, rotation=rot)
+
+
+def _normalize_states(
+    frame: _Frame,
+    position: Array,  # [E, A, 2]
+    velocity: Array,  # [E, A, 2]
+    heading: Array,  # [E, A]
+) -> tuple[Array, Array, Array]:
+    """Apply the frame with the reference's exact conventions, including the
+    negated-heading storage (angle_sub(h, -rot), dataset.py:403)."""
+    f = jax.vmap(lambda t, r, p: apply_se2(p, t, r))
+    pos = f(frame.translation, frame.rotation, position)
+    vel = f(jnp.zeros_like(frame.translation), frame.rotation, velocity)
+    hd = angle_sub(heading, -frame.rotation[:, None])
+    return pos, vel, hd
+
+
+def run_streaming(
+    cfg: Config,
+    model,
+    params,
+    scenario: Scenario,
+    controlled_mask: Array,  # [E, A]
+    rng: Array,
+    tilt_logits: Array | None = None,
+) -> RolloutOutput:
+    wc = cfg.waymo
+    mc = cfg.model
+    pc = cfg.policy
+    env = WaymoEnv(cfg)
+    steps = cfg.sim.steps
+    window = wc.train_context_length
+    A = wc.max_num_agents
+    K = mc.num_token_types
+    H = mc.hidden_dim
+    dtype = jnp.dtype(mc.compute_dtype)
+
+    if mc.decision_transformer or mc.il or mc.trajeglish:
+        raise NotImplementedError(
+            "streaming rollout currently supports the default CtRL-Sim "
+            "token layout; use exact mode for DT/IL/trajeglish"
+        )
+    tp = jnp.asarray(scenario.traj_position)
+    th = jnp.asarray(scenario.traj_heading)
+    ts = jnp.asarray(scenario.traj_speed)
+    tv = jnp.asarray(scenario.traj_valid)
+    length = jnp.asarray(scenario.length)
+    width = jnp.asarray(scenario.width)
+    agent_valid = jnp.asarray(scenario.agent_valid)
+    E = tp.shape[0]
+    if tp.shape[1] != A:
+        raise ValueError("lanes must have exactly max_num_agents slots")
+
+    goals5 = goals_from_scenario(scenario)
+    types = jax.nn.one_hot(jnp.asarray(scenario.agent_type), wc.num_agent_types)
+    if tilt_logits is None:
+        tilt_logits = jnp.zeros((wc.rtg_discretization, 3))
+    zero_tilt = jnp.zeros_like(tilt_logits)
+
+    origin_idx = select_focal_agents(scenario, controlled_mask)
+    env_state0 = env.reset(scenario)
+
+    # ---- fixed frame from the origin agent's initial pose ----------------
+    opos = jnp.take_along_axis(
+        env_state0.bodies.position, origin_idx[:, None, None], axis=1
+    )[:, 0]
+    oyaw = jnp.take_along_axis(env_state0.bodies.heading, origin_idx[:, None], axis=1)[
+        :, 0
+    ]
+    frame = _make_frame(opos, oyaw)
+
+    # ---- normalize static inputs once ------------------------------------
+    n_goal_pos = jax.vmap(lambda t, r, p: apply_se2(p, t, r))(
+        frame.translation, frame.rotation, goals5[..., :2]
+    )
+    n_goal_vel = jax.vmap(lambda r, p: apply_se2(p, jnp.zeros(2), r))(
+        frame.rotation, goals5[..., 2:4]
+    )
+    n_goal_hd = angle_sub(goals5[..., 4], -frame.rotation[:, None])
+    n_goals = jnp.concatenate(
+        [n_goal_pos, n_goal_vel, n_goal_hd[..., None]], axis=-1
+    )
+
+    road_points = jnp.asarray(scenario.road_points)
+    rp_xy = jax.vmap(lambda t, r, p: apply_se2(p, t, r))(
+        frame.translation, frame.rotation, road_points[..., :2]
+    )
+    n_roads = jnp.concatenate([rp_xy, road_points[..., 2:]], axis=-1)
+    n_roads = n_roads * (road_points[..., -1:] > 0)  # keep pad zeros exact
+
+    # relevant set at t=0
+    dist0 = jnp.linalg.norm(
+        env_state0.bodies.position - opos[:, None, :], axis=-1
+    )
+    relevant0 = (dist0 < wc.agent_dist_threshold) & agent_valid
+
+    # ---- memory (map + initial states) encoded once ----------------------
+    p0, v0, h0 = _normalize_states(
+        frame,
+        env_state0.bodies.position,
+        env_state0.bodies.velocity,
+        env_state0.bodies.heading,
+    )
+    init_exist = (env_state0.alive & relevant0).astype(jnp.float32)
+    init_states12 = jnp.concatenate(
+        [
+            p0,
+            v0,
+            h0[..., None],
+            length[..., None],
+            width[..., None],
+            types,
+        ],
+        axis=-1,
+    )
+    memory, memory_valid = model.apply(
+        params,
+        jnp.asarray(scenario.road_types),
+        method=lambda m, rt: m.encode_rollout_memory(
+            n_roads, rt, init_states12, n_goals, init_exist, jnp.asarray(0, jnp.int32)
+        ),
+    )
+
+    cache0 = KVCache.create(mc.num_decoder_layers, E, window, A, K, H, dtype)
+
+    moving = (
+        jnp.linalg.norm(env_state0.bodies.position - goals5[..., :2], axis=-1)
+        > wc.moving_threshold
+    )
+
+    class Carry(NamedTuple):
+        env_state: EnvState
+        cache: KVCache
+        relevant: Array
+        rng: Array
+
+    def step_fn(carry: Carry, t: Array):
+        env_state = carry.env_state
+        rng, k_rtg, k_act = jax.random.split(carry.rng, 3)
+
+        reward8, env_state = env.reward(scenario, env_state)
+
+        # relevant set shrinks with distance to the origin agent's current pos
+        cur_opos = jnp.take_along_axis(
+            env_state.bodies.position, origin_idx[:, None, None], axis=1
+        )
+        dist = jnp.linalg.norm(env_state.bodies.position - cur_opos, axis=-1)
+        relevant = carry.relevant & (dist < wc.agent_dist_threshold)
+        model_exist = (env_state.alive & relevant).astype(jnp.float32)
+
+        # ---- state tokens ------------------------------------------------
+        p, v, hd = _normalize_states(
+            frame,
+            env_state.bodies.position,
+            env_state.bodies.velocity,
+            env_state.bodies.heading,
+        )
+        states12 = jnp.concatenate(
+            [p, v, hd[..., None], length[..., None], width[..., None], types],
+            axis=-1,
+        )
+        x_state, cache = model.apply(
+            params,
+            method=lambda m: m.stream_state(
+                states12, n_goals, model_exist, t, carry.cache, memory,
+                memory_valid, window,
+            ),
+        )
+
+        # ---- RTG sampling --------------------------------------------------
+        if pc.predict_rtgs:
+            rtg_logits = model.apply(
+                params, x_state, method=lambda m, x: m.rtg_head(x)
+            ).reshape(E, A, wc.rtg_discretization, 3)
+            tilt = jnp.where(
+                controlled_mask[..., None, None], tilt_logits, zero_tilt
+            )
+            rtg_bins = sample_tilted_rtgs(k_rtg, rtg_logits, tilt)
+            rtg_cont = tf.undiscretize_rtgs(rtg_bins, wc) * model_exist[..., None]
+        else:
+            rtg_bins = jnp.zeros((E, A, 3), jnp.int32)
+            rtg_cont = jnp.zeros((E, A, 3))
+
+        # ---- rtg tokens + action sampling ---------------------------------
+        x_rtg, cache = model.apply(
+            params,
+            method=lambda m: m.stream_rtg(
+                rtg_bins, model_exist, t, cache, memory, memory_valid, window
+            ),
+        )
+        logits = model.apply(params, x_rtg, method=lambda m, x: m.action_head(x))
+        action_ids = sample_actions(
+            k_act, logits, pc.action_temperature, pc.nucleus_sampling,
+            pc.nucleus_threshold,
+        )
+        policy_actions = tf.undiscretize_actions(action_ids, wc)
+
+        # ---- applied actions (policy after history; GT replay otherwise) --
+        gt_accel, gt_steer = inverse_bicycle_action(
+            tp[:, :, t + 1], th[:, :, t + 1], ts[:, :, t + 1],
+            env_state.bodies.position, env_state.bodies.heading,
+            env_state.bodies.speed, length, cfg.sim.dt,
+        )
+        replay_valid = env_state.alive & tv[:, :, t] & tv[:, :, t + 1]
+        gt_accel = jnp.where(replay_valid, gt_accel, 0.0)
+        gt_steer = jnp.where(replay_valid, gt_steer, 0.0)
+        use_policy = (
+            controlled_mask & (t >= cfg.sim.history_steps - 1) & env_state.alive
+        )
+        accel = jnp.where(use_policy, policy_actions[..., 0], gt_accel)
+        steer = jnp.where(use_policy, policy_actions[..., 1], gt_steer)
+
+        # ---- action tokens into the cache ---------------------------------
+        applied_ids = tf.discretize_actions(
+            jnp.stack([accel, steer], axis=-1), wc
+        )
+        _, cache = model.apply(
+            params,
+            method=lambda m: m.stream_action(
+                applied_ids, model_exist, t, cache, memory, memory_valid, window
+            ),
+        )
+
+        alive_next = env_state.alive & tv[:, :, t + 1]
+        alive_next = alive_next & (use_policy | replay_valid)
+        new_env_state, _ = env.step(
+            scenario, env_state, accel, steer,
+            expert_mask=jnp.zeros_like(alive_next), alive_next=alive_next,
+        )
+
+        nearest = jax.vmap(
+            lambda pp, ee: tf.compute_dist_to_nearest_vehicle_rewards(
+                pp[:, None, :], ee[:, None], normalize=False
+            )[:, 0]
+        )(env_state.bodies.position, env_state.alive.astype(jnp.float32))
+
+        ys = (
+            env_state.bodies.position,
+            env_state.bodies.velocity,
+            env_state.bodies.heading,
+            env_state.bodies.speed,
+            env_state.alive.astype(jnp.float32),
+            reward8,
+            accel,
+            steer,
+            nearest,
+            rtg_cont,
+        )
+        return Carry(new_env_state, cache, relevant, rng), ys
+
+    carry0 = Carry(env_state0, cache0, relevant0, rng)
+    final_carry, ys = jax.lax.scan(step_fn, carry0, jnp.arange(steps))
+    (pos, vel, heading, speed, exist, reward8, accel, steer, nearest, rtgs) = ys
+
+    final_reward8, final_env = env.reward(scenario, final_carry.env_state)
+    app = lambda a, b: jnp.concatenate([a, b[None]], axis=0)
+    nearest_final = jax.vmap(
+        lambda pp, ee: tf.compute_dist_to_nearest_vehicle_rewards(
+            pp[:, None, :], ee[:, None], normalize=False
+        )[:, 0]
+    )(final_env.bodies.position, final_env.alive.astype(jnp.float32))
+
+    return RolloutOutput(
+        position=app(pos, final_env.bodies.position),
+        velocity=app(vel, final_env.bodies.velocity),
+        heading=app(heading, final_env.bodies.heading),
+        speed=app(speed, final_env.bodies.speed),
+        existence=app(exist, final_env.alive.astype(jnp.float32)),
+        reward8=app(reward8, final_reward8),
+        acceleration=accel,
+        steering=steer,
+        nearest_dist=app(nearest, nearest_final),
+        rtgs=rtgs,
+        controlled_mask=controlled_mask,
+    )

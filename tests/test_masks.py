@@ -1,0 +1,72 @@
+"""Closed-form causal mask vs a direct numpy port of the reference's
+O(N^2) loop construction (utils/train_utils.py:82-130)."""
+
+import numpy as np
+import pytest
+
+from ctrl_sim_tpu.ops.masks import multi_agent_causal_mask
+
+
+def reference_mask(num_steps, num_agents, num_types, state_index, attend_own):
+    """Direct port of get_causal_mask with 0 -> True, -inf -> False."""
+    n = num_agents * num_steps * num_types
+    NEG = -np.inf
+    # torch generate_square_subsequent_mask: 0 on/below diagonal
+    mask = np.where(np.tril(np.ones((n, n))) > 0, 0.0, NEG)
+
+    multi = np.zeros((n, n))
+    offset = 0
+    for index in range(n):
+        mask_out = np.full(num_agents * num_types, NEG)
+        agent_id = (index // num_types) % num_agents
+        mask_out[agent_id * num_types : (agent_id + 1) * num_types] = 0
+        multi[index, offset : offset + num_agents * num_types] = mask_out
+        if (index + 1) % (num_agents * num_types) == 0:
+            offset += num_agents * num_types
+    mask = np.minimum(mask, multi)
+
+    for i in range(n):
+        timestep_idx = i // (num_types * num_agents)
+        for j in range(n):
+            if j < (timestep_idx + 1) * (num_agents * num_types) and j % num_types == state_index:
+                mask[i, j] = 0.0
+
+    if attend_own:
+        for i in range(n):
+            agent_i = (i // num_types) % num_agents
+            t_i = i // (num_types * num_agents)
+            for j in range(n):
+                agent_j = (j // num_types) % num_agents
+                t_j = j // (num_types * num_agents)
+                type_j = j % 3  # reference hardcodes 3 here
+                if t_j < t_i and agent_i != agent_j and type_j != state_index:
+                    mask[i, j] = NEG
+    return mask == 0.0
+
+
+@pytest.mark.parametrize(
+    "steps,agents,types,state_index,attend_own",
+    [
+        (4, 3, 3, 0, False),  # ctrl_sim default
+        (4, 3, 3, 1, False),  # decision transformer layout
+        (4, 3, 3, 0, True),  # attend_own_return_action
+        (4, 3, 1, 0, False),  # trajeglish
+        (4, 3, 2, 0, False),  # IL
+        (3, 5, 3, 0, False),
+    ],
+)
+def test_matches_reference_loop(steps, agents, types, state_index, attend_own):
+    want = reference_mask(steps, agents, types, state_index, attend_own)
+    got = np.asarray(
+        multi_agent_causal_mask(steps, agents, types, state_index, attend_own)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_window_restricts_past():
+    full = np.asarray(multi_agent_causal_mask(6, 2, 3, 0))
+    windowed = np.asarray(multi_agent_causal_mask(6, 2, 3, 0, window=2))
+    n = 6 * 2 * 3
+    t = np.arange(n) // (2 * 3)
+    expect = full & (t[None, :] > t[:, None] - 2)
+    np.testing.assert_array_equal(windowed, expect)

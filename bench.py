@@ -36,10 +36,11 @@ def main() -> None:
     from ctrl_sim_tpu.data.transforms import get_tilt_logits
     from ctrl_sim_tpu.models.ctrl_sim import CtRLSim
     from ctrl_sim_tpu.rollout.rollout import run_closed_loop
+    from ctrl_sim_tpu.rollout.streaming import run_streaming
 
+    mode = os.environ.get("BENCH_MODE", "streaming")
     total_envs = int(os.environ.get("BENCH_ENVS", "1024"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "32"))
-    mode = os.environ.get("BENCH_MODE", "exact")
+    chunk = int(os.environ.get("BENCH_CHUNK", "256" if mode == "streaming" else "32"))
 
     cfg = load_config()
     steps = cfg.sim.steps
@@ -72,20 +73,23 @@ def main() -> None:
     controlled = jnp.asarray(sb.moving) & jnp.asarray(sb.agent_valid)
     tilt = jnp.asarray(get_tilt_logits(0.0, 0.0, 0.0, cfg.waymo))
 
-    rollout = jax.jit(
-        lambda p, c, r: run_closed_loop(cfg, model, p, sb, c, r, tilt)
-    )
+    run_fn = run_streaming if mode == "streaming" else run_closed_loop
+    # scenario passed as a pytree argument (NOT closed over: closure would
+    # embed the arrays as giant MLIR constants)
+    rollout = jax.jit(lambda s, p, c, r: run_fn(cfg, model, p, s, c, r, tilt))
 
     print("[bench] compiling rollout ...", file=sys.stderr)
     t0 = time.time()
-    out = jax.block_until_ready(rollout(params, controlled, jax.random.PRNGKey(1)))
+    out = jax.block_until_ready(
+        rollout(sb, params, controlled, jax.random.PRNGKey(1))
+    )
     compile_s = time.time() - t0
     print(f"[bench] compile+first run: {compile_s:.1f}s", file=sys.stderr)
 
     n_chunks = max(total_envs // chunk, 1)
     t0 = time.time()
     for i in range(n_chunks):
-        out = rollout(params, controlled, jax.random.PRNGKey(2 + i))
+        out = rollout(sb, params, controlled, jax.random.PRNGKey(2 + i))
     jax.block_until_ready(out)
     elapsed = time.time() - t0
 

@@ -133,6 +133,18 @@ class WaymoDatasetConfig:
     remove_shaped_veh_reward: bool = False
     remove_shaped_edge_reward: bool = False
 
+    # CTG++ additions (cfgs/dataset/waymo/ctg_plus_plus.yaml)
+    input_horizon: int = 10
+    ctg_action_dim: int = 2  # continuous (accel, steer)
+    future_relative_encoding: bool = False
+    pos_div: float = 100.0  # state_normalizer.pos_div
+    vel_div: float = 40.0  # state_normalizer.vel_div
+
+    # finetuning (cfgs/dataset/waymo/ctrl_sim_finetuning.yaml)
+    replay_ratio: float = 0.5
+    center_on_focal_agent: bool = True
+    supervise_focal_agent: bool = True
+
     @property
     def action_dim(self) -> int:
         return self.accel_discretization * self.steer_discretization
@@ -173,6 +185,19 @@ class ModelConfig:
     local_frame_predictions: bool = False
     loss_action_coef: float = 1.0
     encode_initial_state: bool = True
+
+    # CTG++ diffusion fields (cfgs/model/ctg_plus_plus.yaml)
+    diffusion_type: str = "states_actions"
+    n_diffusion_steps: int = 100
+    action_weight: float = 10.0
+    loss_discount: float = 1.0
+    predict_epsilon: bool = False
+    returns_condition: bool = True
+    condition_dropout: float = 0.25
+    condition_guidance_w: float = 1.2
+    test_ret: float = 0.9
+    n_eval_diffusion_step: int = 50
+    use_rtg: bool = False
 
     # numeric policy: params in fp32, activations/matmuls in bfloat16 on TPU
     compute_dtype: str = "bfloat16"

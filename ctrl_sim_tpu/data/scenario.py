@@ -52,7 +52,11 @@ DEAD_POSITION = -1_000_000.0
 
 @dataclass
 class Scenario:
-    """One scene as dense arrays. T+1 = steps + 1 recorded states (91)."""
+    """One scene as dense arrays. T+1 = steps + 1 recorded states (91).
+
+    Registered as a JAX pytree (``name`` is static metadata), so a Scenario
+    — single or stacked — passes through jit/vmap/scan boundaries directly.
+    """
 
     # agents [A, ...]
     traj_position: np.ndarray  # [A, T1, 2]
@@ -87,6 +91,17 @@ class Scenario:
     @property
     def num_agents(self) -> int:
         return int(self.agent_valid.sum())
+
+
+import jax  # noqa: E402  (registration only; the module stays numpy-first)
+
+jax.tree_util.register_dataclass(
+    Scenario,
+    data_fields=[
+        f.name for f in dataclasses.fields(Scenario) if f.name != "name"
+    ],
+    meta_fields=["name"],
+)
 
 
 # Stacked pytree of scenarios; same fields with an extra leading env axis.
@@ -440,5 +455,5 @@ def stack_scenarios(scenarios: list[Scenario], cfg: Config) -> ScenarioBatch:
             batch[f] = None
         else:
             batch[f] = np.stack(values, axis=0)
-    batch["name"] = [s.name for s in padded]
+    batch["name"] = tuple(s.name for s in padded)  # hashable: pytree metadata
     return Scenario(**batch)

@@ -1,0 +1,70 @@
+"""Closed-loop policy evaluation entry point (reference: eval_sim.py).
+
+  python -m ctrl_sim_tpu.eval_sim --ckpt checkpoints --data_dir /data/test \
+      -o eval.eval_mode=multi_agent -o policy.tilt.goal_tilt=10
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+
+import jax
+import numpy as np
+
+from ctrl_sim_tpu.config import _set_dotted, load_config, preset
+from ctrl_sim_tpu.data.scenario import load_scenario_json
+from ctrl_sim_tpu.data.synthetic import synthetic_scenario
+from ctrl_sim_tpu.evals.evaluator import PolicyEvaluator
+from ctrl_sim_tpu.models.ctrl_sim import CtRLSim
+from ctrl_sim_tpu.train import parse_overrides
+from ctrl_sim_tpu.training import Trainer
+from ctrl_sim_tpu.training.checkpoint import CheckpointManager
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="ctrl_sim")
+    p.add_argument("-o", "--override", action="append", default=[])
+    p.add_argument("--ckpt", default=None, help="checkpoint directory")
+    p.add_argument("--data_dir", default=None)
+    p.add_argument("--limit_files", type=int, default=None)
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--lane_batch", type=int, default=32)
+    args = p.parse_args(argv)
+
+    cfg = preset(args.preset)
+    for key, value in parse_overrides(args.override).items():
+        cfg = _set_dotted(cfg, key, value)
+
+    if args.data_dir:
+        files = sorted(glob.glob(os.path.join(args.data_dir, "*.json")))
+        if args.limit_files:
+            files = files[: args.limit_files]
+        scenes = [load_scenario_json(f, cfg) for f in files]
+    else:
+        n = args.synthetic or 8
+        scenes = [synthetic_scenario(cfg, seed=s, num_agents=12) for s in range(n)]
+
+    model = CtRLSim(cfg)
+    # init params (template), then restore checkpoint when provided
+    from ctrl_sim_tpu.data.store import ScenarioStore
+
+    store = ScenarioStore.from_scenes(cfg, scenes[: min(4, len(scenes))])
+    sample = store.sample_batch(jax.random.PRNGKey(0), 2)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0), sample)
+    if args.ckpt:
+        mgr = CheckpointManager(cfg, args.ckpt)
+        state = mgr.restore(state)
+        print(f"[eval] restored step {int(state.step)} from {args.ckpt}")
+
+    evaluator = PolicyEvaluator(cfg, model, state.params, lane_batch=args.lane_batch)
+    metrics = evaluator.evaluate(scenes)
+    print(json.dumps(metrics, indent=2))
+
+
+if __name__ == "__main__":
+    main()

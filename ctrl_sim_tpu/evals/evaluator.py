@@ -1,0 +1,162 @@
+"""Closed-loop policy evaluator: the eval_sim.py / PolicyEvaluator
+equivalent driving the batched rollout.
+
+Replaces the reference's serial per-scene Python loop
+(evaluators/policy_evaluator.py:426-595) with: host-side agent selection per
+scene (seeded, mirroring the reference's modes), scenes stacked into lanes,
+one jitted rollout per lane batch, metric aggregation over everything.
+
+Agent-selection modes (policy_evaluator.py:450-464):
+
+- ``multi_agent``: <=8 random moving vehicles per scene (random.sample)
+- ``one_agent``: a random "interesting" vehicle — goal within 10 m of
+  another's, goal timesteps within 2 s, both trajectories >= 60 steps
+- ``two_agent``: an interesting *pair* by the same criteria
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random as pyrandom
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ctrl_sim_tpu.config import Config
+from ctrl_sim_tpu.data.scenario import Scenario, stack_scenarios
+from ctrl_sim_tpu.data.transforms import get_tilt_logits
+from ctrl_sim_tpu.evals.metrics import compute_policy_metrics
+from ctrl_sim_tpu.rollout.rollout import run_closed_loop
+from ctrl_sim_tpu.rollout.streaming import run_streaming
+
+
+def _moving_vehicle_ids(scene: Scenario) -> list[int]:
+    """getObjectsThatMoved equivalent (scenario.cc:940-951)."""
+    return [int(i) for i in np.where(scene.moving & scene.agent_valid)[0]]
+
+
+def _interesting_candidates(cfg: Config, scene: Scenario, moving: list[int]):
+    """The goal-proximity pair mask (policy_evaluator.py:308-414)."""
+    steps = cfg.sim.steps
+    hist = cfg.eval.history_steps
+    goals, goal_ts, long_enough = [], [], []
+    for a in moving:
+        valid = scene.traj_valid[a]
+        idx_goal = steps - 1
+        goal_pos = scene.goal_position[a].copy()
+        invalid = np.where(~valid)[0]
+        if len(invalid) > 0:
+            idx_goal = invalid[0] - 1
+        goal_ts.append(idx_goal - hist)
+        goals.append(goal_pos)
+        long_enough.append(
+            1 if valid[hist:].sum() >= cfg.eval.interesting_traj_len_threshold else 0
+        )
+    goals = np.array(goals)
+    goal_ts = np.array(goal_ts)
+    long_enough = np.array(long_enough)
+    if len(moving) == 0:
+        return []
+    dists = np.linalg.norm(goals[None] - goals[:, None], axis=-1)
+    mask = (
+        (dists < cfg.eval.interesting_goal_dist_threshold)
+        & (dists > 0)
+        & (long_enough[:, None] > 0)
+        & (long_enough[None, :] > 0)
+        & (
+            np.abs(goal_ts[:, None] - goal_ts[None, :])
+            < cfg.eval.interesting_timestep_diff_threshold
+        )
+    )
+    ii, jj = np.where(mask)
+    return [(moving[i], moving[j]) for i, j in zip(ii, jj)]
+
+
+def select_vehicles_to_evaluate(
+    cfg: Config, scene: Scenario, rng: pyrandom.Random
+) -> list[int]:
+    moving = _moving_vehicle_ids(scene)
+    mode = cfg.eval.eval_mode
+    if mode == "multi_agent":
+        k = cfg.eval.multi_agent_eval_threshold
+        if len(moving) > k:
+            return rng.sample(moving, k)
+        return moving
+    pairs = _interesting_candidates(cfg, scene, moving)
+    if not pairs:
+        return []
+    pair = rng.choice(pairs)
+    if mode == "one_agent":
+        return [pair[0]]
+    return list(pair)
+
+
+class PolicyEvaluator:
+    """Batched closed-loop evaluation over a scene set."""
+
+    def __init__(self, cfg: Config, model, params, lane_batch: int = 32):
+        self.cfg = cfg
+        self.model = model
+        self.params = params
+        self.lane_batch = lane_batch
+        tc = cfg.policy.tilt
+        self.tilt_logits = jnp.asarray(
+            get_tilt_logits(
+                tc.goal_tilt if tc.tilt else 0.0,
+                tc.veh_veh_tilt if tc.tilt else 0.0,
+                tc.veh_edge_tilt if tc.tilt else 0.0,
+                cfg.waymo,
+            )
+        )
+        run_fn = (
+            run_streaming
+            if cfg.eval.rollout_mode == "streaming"
+            else run_closed_loop
+        )
+        self._rollout = jax.jit(
+            lambda sb, p, c, r: run_fn(cfg, model, p, sb, c, r, self.tilt_logits)
+        )
+
+    def evaluate(self, scenes: list[Scenario]) -> dict:
+        cfg = self.cfg
+        rng = pyrandom.Random(cfg.eval.seed)
+        key = jax.random.PRNGKey(cfg.eval.seed)
+
+        # host-side agent selection, scene filtering
+        selected: list[tuple[Scenario, list[int]]] = []
+        for scene in scenes:
+            vehicles = select_vehicles_to_evaluate(cfg, scene, rng)
+            if vehicles:
+                selected.append((scene, vehicles))
+        if not selected:
+            return {}
+
+        all_metrics: list[dict] = []
+        weights: list[int] = []
+        for i in range(0, len(selected), self.lane_batch):
+            chunk = selected[i : i + self.lane_batch]
+            batch = stack_scenarios([s for s, _ in chunk], cfg)
+            A = batch.traj_position.shape[1]
+            controlled = np.zeros((len(chunk), A), dtype=bool)
+            for e, (_, vehicles) in enumerate(chunk):
+                controlled[e, vehicles] = True
+            d = {
+                k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+                for k, v in dataclasses.asdict(batch).items()
+            }
+            d["name"] = ""  # static metadata: keep the jit cache warm
+            sb = Scenario(**d)
+            key, sub = jax.random.split(key)
+            rollout = self._rollout(sb, self.params, jnp.asarray(controlled), sub)
+            m = compute_policy_metrics(cfg, jax.tree.map(np.asarray, rollout), batch)
+            all_metrics.append(m)
+            weights.append(len(chunk))
+
+        # weighted merge over chunks
+        total = sum(weights)
+        merged = {
+            k: float(sum(m[k] * w for m, w in zip(all_metrics, weights)) / total)
+            for k in all_metrics[0]
+        }
+        return merged

@@ -28,6 +28,15 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    # persistent compilation cache: the tunneled remote compiler takes many
+    # minutes for transformer-sized rollout graphs; cache the executable so
+    # repeat bench runs skip it
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from ctrl_sim_tpu.config import load_config
@@ -66,9 +75,15 @@ def main() -> None:
     from ctrl_sim_tpu.data.pipeline import build_train_batch
 
     print("[bench] initializing model ...", file=sys.stderr)
-    offline = generate_offline_data(cfg, sb)
-    tb = build_train_batch(cfg, jax.random.PRNGKey(0), sb, offline)
-    params = model.init({"params": jax.random.PRNGKey(0)}, tb)
+    offline = jax.jit(lambda s: generate_offline_data(cfg, s))(sb)
+    tb = jax.jit(lambda s, o: build_train_batch(cfg, jax.random.PRNGKey(0), s, o))(
+        sb, offline
+    )
+    # jitted init: eager init through the tunneled TPU pays a network
+    # roundtrip per op
+    params = jax.jit(
+        lambda b: model.init({"params": jax.random.PRNGKey(0)}, b)
+    )(tb)
 
     controlled = jnp.asarray(sb.moving) & jnp.asarray(sb.agent_valid)
     tilt = jnp.asarray(get_tilt_logits(0.0, 0.0, 0.0, cfg.waymo))

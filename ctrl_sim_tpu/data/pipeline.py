@@ -61,8 +61,16 @@ def build_train_sample(
     road_points: Array,  # [P, L, 3]
     road_types: Array,  # [P, 8]
     road_valid: Array,  # [P]
+    focal_idx: Array | None = None,  # int, -1 = none (finetuning: adversary)
+    supervise_focal_only: Array | None = None,  # bool
 ) -> dict:
-    """One training sample for one scenario. vmap over the batch axis."""
+    """One training sample for one scenario. vmap over the batch axis.
+
+    Finetuning extensions (dataset_ctrl_sim_finetuning.py): when
+    ``focal_idx >= 0`` and center_on_focal_agent, the origin agent is the
+    focal (CAT adversary) agent; when ``supervise_focal_only``, the loss
+    mask keeps only the focal agent (:160-163).
+    """
     wc = cfg.waymo
     T_ctx = wc.train_context_length
     A, T, _ = states.shape
@@ -104,6 +112,9 @@ def build_train_sample(
     cand = (w_states[:, 0, -1] > 0) & moving & filtered
     logits = jnp.where(cand, 0.0, -jnp.inf)
     origin_agent = jax.random.categorical(k_origin, logits)
+    if focal_idx is not None:
+        use_focal = (focal_idx >= 0) & cfg.waymo.center_on_focal_agent
+        origin_agent = jnp.where(use_focal, jnp.maximum(focal_idx, 0), origin_agent)
 
     sel = tf.select_relevant_agents_idx(
         w_states[:, 0, :2],
@@ -117,6 +128,14 @@ def build_train_sample(
     sel_rtgs = tf.gather_agents(w_rtgs, sel)
     sel_goals = tf.gather_agents(goals, sel)
     sel_moving = tf.gather_agents(moving.astype(jnp.float32), sel)
+    if focal_idx is not None and supervise_focal_only is not None:
+        # loss supervision restricted to the focal agent (finetuning :160-163)
+        is_focal = (sel.gather_idx == jnp.maximum(focal_idx, 0)).astype(
+            jnp.float32
+        ) * sel.slot_valid
+        sel_moving = jnp.where(
+            supervise_focal_only & (focal_idx >= 0), is_focal, sel_moving
+        )
 
     disc_actions = tf.discretize_actions(sel_actions, wc)
     disc_rtgs = tf.discretize_rtgs(sel_rtgs, wc)

@@ -145,9 +145,16 @@ def run_closed_loop(
 
     goals5 = goals_from_scenario(scenario)  # [E, A, 5]
     types = jax.nn.one_hot(jnp.asarray(scenario.agent_type), wc.num_agent_types)
+    # tilt: [bins, 3] broadcast to controlled agents, or per-agent
+    # [E, A, bins, 3] (planner-vs-adversary assigns different tilts per agent)
     if tilt_logits is None:
         tilt_logits = jnp.zeros((wc.rtg_discretization, 3))
-    zero_tilt = jnp.zeros_like(tilt_logits)
+    if tilt_logits.ndim == 2:
+        agent_tilt = jnp.where(
+            controlled_mask[..., None, None], tilt_logits[None, None], 0.0
+        )
+    else:
+        agent_tilt = tilt_logits
 
     origin_idx = select_focal_agents(scenario, controlled_mask)
 
@@ -262,9 +269,9 @@ def run_closed_loop(
             cur = jax.lax.dynamic_index_in_dim(
                 rtg_logits, token_index, axis=2, keepdims=False
             )  # [E, A, 350, 3]
-            slot_controlled = jnp.take_along_axis(controlled_mask, order, axis=1)
-            tilt = jnp.where(
-                slot_controlled[..., None, None], tilt_logits, zero_tilt
+            # per-agent tilts gathered into slot order
+            tilt = jnp.take_along_axis(
+                agent_tilt, order[..., None, None], axis=1
             )
             rtg_bins = sample_tilted_rtgs(k_rtg, cur, tilt)  # [E, A, 3]
             # write sampled bins into the model input at the current token

@@ -117,7 +117,12 @@ def run_streaming(
     types = jax.nn.one_hot(jnp.asarray(scenario.agent_type), wc.num_agent_types)
     if tilt_logits is None:
         tilt_logits = jnp.zeros((wc.rtg_discretization, 3))
-    zero_tilt = jnp.zeros_like(tilt_logits)
+    if tilt_logits.ndim == 2:
+        agent_tilt = jnp.where(
+            controlled_mask[..., None, None], tilt_logits[None, None], 0.0
+        )
+    else:
+        agent_tilt = tilt_logits
 
     origin_idx = select_focal_agents(scenario, controlled_mask)
     env_state0 = env.reset(scenario)
@@ -234,10 +239,7 @@ def run_streaming(
             rtg_logits = model.apply(
                 params, x_state, method=lambda m, x: m.rtg_head(x)
             ).reshape(E, A, wc.rtg_discretization, 3)
-            tilt = jnp.where(
-                controlled_mask[..., None, None], tilt_logits, zero_tilt
-            )
-            rtg_bins = sample_tilted_rtgs(k_rtg, rtg_logits, tilt)
+            rtg_bins = sample_tilted_rtgs(k_rtg, rtg_logits, agent_tilt)
             rtg_cont = tf.undiscretize_rtgs(rtg_bins, wc) * model_exist[..., None]
         else:
             rtg_bins = jnp.zeros((E, A, 3), jnp.int32)

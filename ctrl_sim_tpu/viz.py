@@ -1,0 +1,175 @@
+"""Scene visualization (reference: utils/viz.py generate_video/_frames).
+
+Renders rollout frames with matplotlib: road polylines colored by type,
+vehicle boxes with heading arrows, goals, collision highlighting; optional
+mp4 via matplotlib animation (moviepy isn't assumed present).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ctrl_sim_tpu.config import Config
+from ctrl_sim_tpu.data.scenario import DEAD_POSITION, Scenario
+from ctrl_sim_tpu.rollout.rollout import RolloutOutput
+
+ROAD_COLORS = {
+    0: "#cccccc",  # none
+    1: "#a0a0a0",  # lane
+    2: "#e0d070",  # road_line
+    3: "#303030",  # road_edge
+    4: "#d04040",  # stop_sign
+    5: "#70a0e0",  # crosswalk
+    6: "#c080c0",  # speed_bump
+    7: "#cccccc",  # other
+}
+
+
+def _box(ax, x, y, heading, length, width, color, alpha=0.9):
+    import matplotlib.transforms as mtransforms
+    from matplotlib.patches import Rectangle
+
+    rect = Rectangle(
+        (-length / 2, -width / 2), length, width,
+        facecolor=color, edgecolor="black", linewidth=0.5, alpha=alpha,
+    )
+    t = (
+        mtransforms.Affine2D().rotate(heading).translate(x, y) + ax.transData
+    )
+    rect.set_transform(t)
+    ax.add_patch(rect)
+    ax.plot(
+        [x, x + 0.6 * length * np.cos(heading)],
+        [y, y + 0.6 * length * np.sin(heading)],
+        color="white", linewidth=0.8,
+    )
+
+
+def render_frame(
+    ax,
+    scene: Scenario,
+    positions: np.ndarray,  # [A, 2]
+    headings: np.ndarray,  # [A]
+    existence: np.ndarray,  # [A]
+    controlled: np.ndarray | None = None,
+    collided: np.ndarray | None = None,
+    view_radius: float = 80.0,
+    center: np.ndarray | None = None,
+):
+    """Draw one frame onto an axes."""
+    rp = np.asarray(scene.road_points)
+    rt = np.asarray(scene.road_types)
+    for p in range(rp.shape[0]):
+        pts = rp[p]
+        valid = pts[:, 2] > 0
+        if valid.sum() < 2:
+            continue
+        kind = int(np.argmax(rt[p])) if rt[p].max() > 0 else 7
+        lw = 1.2 if kind == 3 else 0.6
+        ax.plot(
+            pts[valid, 0], pts[valid, 1],
+            color=ROAD_COLORS.get(kind, "#cccccc"), linewidth=lw, zorder=1,
+        )
+
+    lengths = np.asarray(scene.length)
+    widths = np.asarray(scene.width)
+    for a in range(len(positions)):
+        if existence[a] <= 0 or positions[a, 0] <= DEAD_POSITION / 2:
+            continue
+        if collided is not None and collided[a]:
+            color = "#e04040"
+        elif controlled is not None and controlled[a]:
+            color = "#4080e0"
+        else:
+            color = "#70c070"
+        _box(ax, positions[a, 0], positions[a, 1], headings[a],
+             lengths[a], widths[a], color)
+
+    goals = np.asarray(scene.goal_position)
+    for a in range(len(goals)):
+        if existence[a] > 0:
+            ax.plot(goals[a, 0], goals[a, 1], "x", color="#e0a040", markersize=4)
+
+    if center is None:
+        live = positions[existence > 0]
+        center = live.mean(axis=0) if len(live) else np.zeros(2)
+    ax.set_xlim(center[0] - view_radius, center[0] + view_radius)
+    ax.set_ylim(center[1] - view_radius, center[1] + view_radius)
+    ax.set_aspect("equal")
+    ax.set_xticks([])
+    ax.set_yticks([])
+
+
+def render_rollout(
+    cfg: Config,
+    scene: Scenario,
+    rollout: RolloutOutput,
+    env_index: int,
+    out_dir: str,
+    every: int = 5,
+    fmt: str = "png",
+) -> list[str]:
+    """Render frames of one lane of a rollout to out_dir; returns paths."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    pos = np.asarray(rollout.position)[:, env_index]  # [T+1, A, 2]
+    heading = np.asarray(rollout.heading)[:, env_index]
+    exist = np.asarray(rollout.existence)[:, env_index]
+    reward8 = np.asarray(rollout.reward8)[:, env_index]
+    controlled = np.asarray(rollout.controlled_mask)[env_index]
+    paths = []
+    for t in range(0, pos.shape[0], every):
+        fig, ax = plt.subplots(figsize=(6, 6), dpi=110)
+        collided = reward8[min(t, reward8.shape[0] - 1), :, 6:8].sum(-1) > 0
+        render_frame(ax, scene, pos[t], heading[t], exist[t],
+                     controlled=controlled, collided=collided)
+        ax.set_title(f"t={t}")
+        path = os.path.join(out_dir, f"frame_{t:03d}.{fmt}")
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+        paths.append(path)
+    return paths
+
+
+def render_video(
+    cfg: Config, scene: Scenario, rollout: RolloutOutput, env_index: int,
+    out_path: str, fps: int = 10,
+) -> str:
+    """mp4 via matplotlib animation (10 fps like the reference)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.animation as animation
+    import matplotlib.pyplot as plt
+
+    pos = np.asarray(rollout.position)[:, env_index]
+    heading = np.asarray(rollout.heading)[:, env_index]
+    exist = np.asarray(rollout.existence)[:, env_index]
+    reward8 = np.asarray(rollout.reward8)[:, env_index]
+    controlled = np.asarray(rollout.controlled_mask)[env_index]
+
+    fig, ax = plt.subplots(figsize=(6, 6), dpi=110)
+
+    def update(t):
+        ax.clear()
+        collided = reward8[min(t, reward8.shape[0] - 1), :, 6:8].sum(-1) > 0
+        render_frame(ax, scene, pos[t], heading[t], exist[t],
+                     controlled=controlled, collided=collided)
+        ax.set_title(f"t={t}")
+
+    anim = animation.FuncAnimation(fig, update, frames=pos.shape[0])
+    anim.save(out_path, fps=fps, writer="ffmpeg" if _has_ffmpeg() else "pillow")
+    plt.close(fig)
+    return out_path
+
+
+def _has_ffmpeg() -> bool:
+    import shutil
+
+    return shutil.which("ffmpeg") is not None

@@ -89,24 +89,31 @@ def main() -> None:
     tilt = jnp.asarray(get_tilt_logits(0.0, 0.0, 0.0, cfg.waymo))
 
     run_fn = run_streaming if mode == "streaming" else run_closed_loop
-    # scenario passed as a pytree argument (NOT closed over: closure would
-    # embed the arrays as giant MLIR constants)
-    rollout = jax.jit(lambda s, p, c, r: run_fn(cfg, model, p, s, c, r, tilt))
+    # every array passed as an argument (NOT closed over: closures embed
+    # device arrays as MLIR constants, forcing device->host transfers at
+    # lowering time and bloating the program)
+    rollout = jax.jit(lambda s, p, c, r, t: run_fn(cfg, model, p, s, c, r, t))
+
+    def _materialize(o):
+        # force a real device->host transfer: through the tunneled device,
+        # block_until_ready alone does not guarantee execution completed
+        return float(np.asarray(o.reward8[-1]).sum())
 
     print("[bench] compiling rollout ...", file=sys.stderr)
     t0 = time.time()
-    out = jax.block_until_ready(
-        rollout(sb, params, controlled, jax.random.PRNGKey(1))
-    )
+    out = rollout(sb, params, controlled, jax.random.PRNGKey(1), tilt)
+    _materialize(out)
     compile_s = time.time() - t0
     print(f"[bench] compile+first run: {compile_s:.1f}s", file=sys.stderr)
 
     n_chunks = max(total_envs // chunk, 1)
     t0 = time.time()
+    checksum = 0.0
     for i in range(n_chunks):
-        out = rollout(sb, params, controlled, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(out)
+        out = rollout(sb, params, controlled, jax.random.PRNGKey(2 + i), tilt)
+        checksum += _materialize(out)
     elapsed = time.time() - t0
+    print(f"[bench] checksum {checksum:.3f}", file=sys.stderr)
 
     env_steps = n_chunks * chunk * steps
     eps = env_steps / elapsed

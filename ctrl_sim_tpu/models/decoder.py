@@ -43,9 +43,11 @@ class DecoderOutput(NamedTuple):
 class KVCache(NamedTuple):
     """Ring-buffer self-attention cache for the streaming decoder.
 
-    k, v: [num_layers, B, window*A*K, H]; slots are grouped per timestep:
-    slot block (t % window) holds that timestep's A*K token projections.
-    slot_t: [window] — the episode timestep stored in each block (-1 empty).
+    k, v: [num_layers, B, window, K, A, H] — token-type-major within each
+    timestep slot, so appending one timestep's A tokens of one type is a
+    single contiguous ``dynamic_update_slice`` (a strided scatter here costs
+    ~10x on TPU and was the original rollout bottleneck).
+    slot_t: [window] — the episode timestep stored in each slot (-1 empty).
     """
 
     k: Array
@@ -54,10 +56,9 @@ class KVCache(NamedTuple):
 
     @staticmethod
     def create(num_layers: int, B: int, window: int, A: int, K: int, H: int, dtype):
-        n = window * A * K
         return KVCache(
-            k=jnp.zeros((num_layers, B, n, H), dtype),
-            v=jnp.zeros((num_layers, B, n, H), dtype),
+            k=jnp.zeros((num_layers, B, window, K, A, H), dtype),
+            v=jnp.zeros((num_layers, B, window, K, A, H), dtype),
             slot_t=jnp.full((window,), -1, jnp.int32),
         )
 
@@ -167,12 +168,11 @@ class Decoder(nn.Module):
         B = tokens.shape[0]
         H = tokens.shape[-1]
 
-        # cache coordinate grids (static shapes)
+        # cache coordinate grids for the [window, K, A] flat layout
         cache_t = cache.slot_t  # [window] episode timesteps (-1 = empty)
-        # per cache position: (t_j, a_j, k_j)
-        a_j = jnp.tile(jnp.repeat(jnp.arange(A), K), window)  # [window*A*K]
-        k_j = jnp.tile(jnp.arange(K), window * A)
-        t_j = jnp.repeat(cache_t, A * K)
+        a_j = jnp.tile(jnp.arange(A), window * K)  # [window*K*A]
+        k_j = jnp.tile(jnp.repeat(jnp.arange(K), A), window)
+        t_j = jnp.repeat(cache_t, K * A)
 
         # query coords: same t, all agents, fixed token type
         a_i = jnp.arange(A)
@@ -217,28 +217,29 @@ class Decoder(nn.Module):
         new_cache_k = cache.k
         new_cache_v = cache.v
         slot = jnp.mod(t, window)
-        base = slot * A * K + token_type  # positions slot*A*K + a*K + k
 
         for li, layer in enumerate(self.layers):
+            flat_k = cache.k[li].reshape(B, window * K * A, H)
+            flat_v = cache.v[li].reshape(B, window * K * A, H)
             x, (k_new, v_new) = layer(
                 x,
                 memory,
                 tgt_mask=jnp.concatenate([cache_vis, same_type_vis], axis=-1)[None],
                 memory_key_padding_mask=memory_valid,
                 deterministic=True,
-                self_cache_kv=(cache.k[li], cache.v[li]),
+                self_cache_kv=(flat_k, flat_v),
                 return_self_kv=True,
             )
-            # scatter this step's projections into the ring buffer. NB: the
-            # integer layer index + the pos array are two advanced indices
-            # separated by a slice, so the advanced axes move to the FRONT of
-            # the result — the update value must be [A, B, H].
-            pos = base + jnp.arange(A) * K  # [A]
-            new_cache_k = new_cache_k.at[li, :, pos, :].set(
-                jnp.swapaxes(k_new, 0, 1)
+            # contiguous dynamic-update-slice into [li, :, slot, k, :, :]
+            upd = k_new[None, :, None, None, :, :]  # [1, B, 1, 1, A, H]
+            idx = (li, 0, slot, token_type, 0, 0)
+            new_cache_k = jax.lax.dynamic_update_slice(
+                new_cache_k, upd.astype(new_cache_k.dtype), idx
             )
-            new_cache_v = new_cache_v.at[li, :, pos, :].set(
-                jnp.swapaxes(v_new, 0, 1)
+            new_cache_v = jax.lax.dynamic_update_slice(
+                new_cache_v,
+                v_new[None, :, None, None, :, :].astype(new_cache_v.dtype),
+                idx,
             )
 
         slot_t = cache.slot_t.at[slot].set(t)

@@ -72,6 +72,7 @@ class _Carry(NamedTuple):
     rtgs_buf: Array  # [E, A, S, 3]
     relevant: Array  # [E, A] bool
     rng: Array
+    rtg_rt: Array  # [E, A, 3] real-time decayed RTG (DT mode) or zeros
 
 
 def _recorded_state(env_state: EnvState, length: Array, width: Array) -> Array:
@@ -166,6 +167,15 @@ def run_closed_loop(
     dist0 = jnp.linalg.norm(pos0 - origin_pos0, axis=-1)
     relevant0 = (dist0 < wc.agent_dist_threshold) & agent_valid
 
+    # real-time RTG initialization (DT policy: policy_evaluator.py:123-145):
+    # max achievable return (10, 90, 90); min_return flips evaluated
+    # vehicles to (0, -10, -10)
+    rtg_rt0 = jnp.broadcast_to(jnp.asarray([10.0, 90.0, 90.0]), (E, A, 3))
+    if pc.min_return:
+        rtg_rt0 = jnp.where(
+            controlled_mask[..., None], jnp.asarray([0.0, -10.0, -10.0]), rtg_rt0
+        )
+
     carry0 = _Carry(
         env_state=env_state0,
         states_buf=jnp.zeros((E, A, steps + 1, 8)),
@@ -173,6 +183,7 @@ def run_closed_loop(
         rtgs_buf=jnp.zeros((E, A, steps + 1, 3)),
         relevant=relevant0,
         rng=rng,
+        rtg_rt=rtg_rt0,
     )
 
     def model_inputs(carry: _Carry, t: Array):
@@ -257,6 +268,41 @@ def run_closed_loop(
         )
         carry = carry._replace(states_buf=states_buf, env_state=env_state)
 
+        rtg_rt = carry.rtg_rt
+        if pc.real_time_rewards:
+            # DT mode: RTG buffer carries the decayed real-time return
+            # (evaluator.py:106-140 compute_dense_reward + the decay at
+            # policy_evaluator.py:146-149)
+            rtgs_buf_rt = jax.lax.dynamic_update_slice_in_dim(
+                carry.rtgs_buf, rtg_rt[:, :, None, :], t, axis=2
+            )
+            carry = carry._replace(rtgs_buf=rtgs_buf_rt)
+            ex_now = env_state.alive.astype(jnp.float32)
+            nearest_now = _nearest_dist(env_state.bodies.position, ex_now)
+            veh_dist = jnp.clip(nearest_now * ex_now, 0.0, wc.max_veh_veh_distance) / (
+                wc.max_veh_veh_distance
+            )
+            from ctrl_sim_tpu.geometry import signed_distance_to_polylines
+
+            signed = jax.vmap(
+                lambda p, poly, v: signed_distance_to_polylines(p, poly, v)
+            )(
+                env_state.bodies.position,
+                jnp.asarray(scenario.edge_polylines),
+                jnp.asarray(scenario.edge_poly_valid),
+            )
+            dense_goal = reward8[..., 0] * wc.pos_target_achieved_rew_multiplier
+            dense_veh = veh_dist - reward8[..., 6] * wc.veh_veh_collision_rew_multiplier
+            dense_edge = (
+                jnp.clip(jnp.abs(signed), 0.0, 5.0) / 5.0
+                - reward8[..., 7] * wc.veh_edge_collision_rew_multiplier
+            )
+            dense3 = (
+                jnp.stack([dense_goal, dense_veh, dense_edge], axis=-1)
+                * ex_now[..., None]
+            )
+            rtg_rt = rtg_rt - dense3
+
         token_index = jnp.minimum(t, T_ctx - 1)
         batch, order, slot_valid, relevant = model_inputs(carry, t)
 
@@ -340,9 +386,14 @@ def run_closed_loop(
         actions_buf = jax.lax.dynamic_update_slice_in_dim(
             carry.actions_buf, applied[:, :, None, :], t, axis=2
         )
-        rtgs_buf = jax.lax.dynamic_update_slice_in_dim(
-            carry.rtgs_buf, rtg_cont[:, :, None, :], t, axis=2
-        )
+        if pc.predict_rtgs:
+            rtgs_buf = jax.lax.dynamic_update_slice_in_dim(
+                carry.rtgs_buf, rtg_cont[:, :, None, :], t, axis=2
+            )
+        else:
+            # DT real-time path wrote the decayed RTG above; IL/trajeglish
+            # carry zeros
+            rtgs_buf = carry.rtgs_buf
 
         nearest = _nearest_dist(
             env_state.bodies.position, env_state.alive.astype(jnp.float32)
@@ -367,6 +418,7 @@ def run_closed_loop(
             rtgs_buf=rtgs_buf,
             relevant=relevant,
             rng=rng,
+            rtg_rt=rtg_rt,
         )
         return new_carry, ys
 

@@ -58,6 +58,10 @@ class CTGPlusPlus(nn.Module):
         cond = {k: batch[k] for k in COND_KEYS}
         return self.diffusion.sample(cond, rng)
 
+    def sample_from_cond(self, cond: dict, rng: Array) -> Array:
+        """Sample futures from an already-built conditioning dict (rollout)."""
+        return self.diffusion.sample(cond, rng)
+
     def loss(self, batch: dict, rng: Array) -> CTGLossDict:
         cond = {k: batch[k] for k in COND_KEYS}
         dloss, info = self.diffusion.loss(

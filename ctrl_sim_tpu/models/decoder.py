@@ -214,33 +214,36 @@ class Decoder(nn.Module):
         )
 
         x = tokens
-        new_cache_k = cache.k
-        new_cache_v = cache.v
+        # Thread ONE buffer through the layer loop: each layer reads the
+        # partially-updated cache (the positions this sub-pass writes are
+        # visibility-masked, so the values are irrelevant) — reading the
+        # *old* buffer instead would force XLA to materialize a full copy
+        # of the multi-hundred-MB cache per layer to preserve it.
+        k_buf = cache.k
+        v_buf = cache.v
         slot = jnp.mod(t, window)
+        mask = jnp.concatenate([cache_vis, same_type_vis], axis=-1)[None]
 
         for li, layer in enumerate(self.layers):
-            flat_k = cache.k[li].reshape(B, window * K * A, H)
-            flat_v = cache.v[li].reshape(B, window * K * A, H)
+            flat_k = k_buf[li].reshape(B, window * K * A, H)
+            flat_v = v_buf[li].reshape(B, window * K * A, H)
             x, (k_new, v_new) = layer(
                 x,
                 memory,
-                tgt_mask=jnp.concatenate([cache_vis, same_type_vis], axis=-1)[None],
+                tgt_mask=mask,
                 memory_key_padding_mask=memory_valid,
                 deterministic=True,
                 self_cache_kv=(flat_k, flat_v),
                 return_self_kv=True,
             )
             # contiguous dynamic-update-slice into [li, :, slot, k, :, :]
-            upd = k_new[None, :, None, None, :, :]  # [1, B, 1, 1, A, H]
             idx = (li, 0, slot, token_type, 0, 0)
-            new_cache_k = jax.lax.dynamic_update_slice(
-                new_cache_k, upd.astype(new_cache_k.dtype), idx
+            k_buf = jax.lax.dynamic_update_slice(
+                k_buf, k_new[None, :, None, None, :, :].astype(k_buf.dtype), idx
             )
-            new_cache_v = jax.lax.dynamic_update_slice(
-                new_cache_v,
-                v_new[None, :, None, None, :, :].astype(new_cache_v.dtype),
-                idx,
+            v_buf = jax.lax.dynamic_update_slice(
+                v_buf, v_new[None, :, None, None, :, :].astype(v_buf.dtype), idx
             )
 
         slot_t = cache.slot_t.at[slot].set(t)
-        return x, KVCache(k=new_cache_k, v=new_cache_v, slot_t=slot_t)
+        return x, KVCache(k=k_buf, v=v_buf, slot_t=slot_t)

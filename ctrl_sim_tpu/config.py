@@ -201,6 +201,9 @@ class ModelConfig:
 
     # numeric policy: params in fp32, activations/matmuls in bfloat16 on TPU
     compute_dtype: str = "bfloat16"
+    # fused Pallas decode attention in the streaming rollout (TPU only;
+    # avoids the per-head cache re-layout in HBM)
+    use_pallas_attention: bool = True
 
     @property
     def num_token_types(self) -> int:

@@ -186,7 +186,7 @@ class MapEncoderPtsMA(nn.Module):
             "map_seeds", nn.initializers.xavier_uniform(), (1, 1, H)
         ).astype(dtype)
         seed = jnp.broadcast_to(seed, (B * M * S, 1, H))
-        pooled = MultiHeadAttention(8, dtype, mc.dropout, name="road_pts_attn_layer")(
+        pooled = MultiHeadAttention(8, dtype, mc.dropout, d_model=H, name="road_pts_attn_layer")(
             seed,
             pts,
             pts,
@@ -274,7 +274,7 @@ class DiTTrunk(nn.Module):
             mf = map_features.reshape(B * N, S, H)
             mv = map_valid.reshape(B * N, S)
             delta = MultiHeadAttention(
-                mc.num_heads, dtype, mc.dropout, name=f"map_attn_{i}"
+                mc.num_heads, dtype, mc.dropout, d_model=H, name=f"map_attn_{i}"
             )(xm, mf, mf, key_padding_mask=mv, deterministic=deterministic)
             x = x + delta.reshape(B, N, T, H)
         return x

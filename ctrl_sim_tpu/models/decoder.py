@@ -43,22 +43,27 @@ class DecoderOutput(NamedTuple):
 class KVCache(NamedTuple):
     """Ring-buffer self-attention cache for the streaming decoder.
 
-    k, v: [num_layers, B, window, K, A, H] — token-type-major within each
-    timestep slot, so appending one timestep's A tokens of one type is a
-    single contiguous ``dynamic_update_slice`` (a strided scatter here costs
-    ~10x on TPU and was the original rollout bottleneck).
+    k, v: per-layer tuples of [B, window, K, A, H] — token-type-major within
+    each timestep slot, so appending one timestep's A tokens of one type is a
+    single contiguous ``dynamic_update_slice``, and per-layer tuples keep
+    each buffer's dataflow linear so XLA updates it in place inside the scan
+    (a single stacked [L, ...] array forced whole-cache copies).
     slot_t: [window] — the episode timestep stored in each slot (-1 empty).
     """
 
-    k: Array
-    v: Array
+    k: tuple
+    v: tuple
     slot_t: Array
 
     @staticmethod
     def create(num_layers: int, B: int, window: int, A: int, K: int, H: int, dtype):
         return KVCache(
-            k=jnp.zeros((num_layers, B, window, K, A, H), dtype),
-            v=jnp.zeros((num_layers, B, window, K, A, H), dtype),
+            k=tuple(
+                jnp.zeros((B, window, K, A, H), dtype) for _ in range(num_layers)
+            ),
+            v=tuple(
+                jnp.zeros((B, window, K, A, H), dtype) for _ in range(num_layers)
+            ),
             slot_t=jnp.full((window,), -1, jnp.int32),
         )
 
@@ -74,7 +79,7 @@ class Decoder(nn.Module):
         self.layers = [
             TransformerDecoderLayer(
                 mc.num_heads, mc.dim_feedforward, mc.dropout, dtype,
-                name=f"decoder_layer_{i}",
+                d_model=mc.hidden_dim, name=f"decoder_layer_{i}",
             )
             for i in range(mc.num_decoder_layers)
         ]
@@ -168,22 +173,27 @@ class Decoder(nn.Module):
         B = tokens.shape[0]
         H = tokens.shape[-1]
 
-        # cache coordinate grids for the [window, K, A] flat layout
-        cache_t = cache.slot_t  # [window] episode timesteps (-1 = empty)
+        # Cache-first decode: this sub-pass's K/V are written into the ring
+        # buffer BEFORE attending, and the query attends over the buffer
+        # alone — no [cache ‖ new] concatenation (which materialized the
+        # multi-MB cache every layer and dominated rollout time on TPU).
+        slot = jnp.mod(t, window)
+        slot_t = cache.slot_t.at[slot].set(t)  # updated first: the current
+        # slot's positions now carry t_j == t for the mask below
+
+        # coordinate grids for the [window, K, A] flat layout
         a_j = jnp.tile(jnp.arange(A), window * K)  # [window*K*A]
         k_j = jnp.tile(jnp.repeat(jnp.arange(K), A), window)
-        t_j = jnp.repeat(cache_t, K * A)
-
-        # query coords: same t, all agents, fixed token type
+        t_j = jnp.repeat(slot_t, K * A)
         a_i = jnp.arange(A)
-        # within-step ordering index: token (a, k) sits at a*K + k
-        ii = a_i * K + token_type
 
-        # ---- mask vs cache (past + this step's earlier types) -------------
-        cache_vis = masks.visible(
+        is_cur = (t_j[None, :] == t) & (k_j[None, :] == token_type)
+        # past/current-earlier-type positions: the standard predicate with
+        # cache entries ordered strictly before the queries
+        cache_rule = masks.visible(
             ti=t,
             ai=a_i[:, None],
-            ii=jnp.asarray(10**9),  # cache positions are strictly earlier
+            ii=jnp.asarray(10**9),
             tj=t_j[None, :],
             aj=a_j[None, :],
             kj=k_j[None, :],
@@ -192,58 +202,40 @@ class Decoder(nn.Module):
             attend_own_return_action=mc.attend_own_return_action,
             window=window,
         ) & (t_j[None, :] >= 0)
-        # exclude the current slot's positions for this and later token
-        # types: they are either the appended new tokens (handled below) or
-        # still-empty zeros whose keys would add spurious softmax mass
-        cache_vis = cache_vis & ~((t_j[None, :] == t) & (k_j[None, :] >= token_type))
-
-        # ---- mask among the A new tokens (same t, same k) ------------------
-        # token (t, a_i, k) attends token (t, a_j, k): per predicate,
-        # visible iff k == state_index (all states visible) or a_i == a_j.
-        same_type_vis = masks.visible(
-            ti=t,
-            ai=a_i[:, None],
-            ii=ii[:, None],
-            tj=t,
-            aj=a_i[None, :],
-            kj=jnp.full((A,), token_type)[None, :],
-            jj=ii[None, :],
-            state_index=mc.state_token_index,
-            attend_own_return_action=mc.attend_own_return_action,
-            window=window,
+        # same-slot LATER token types are stale leftovers from t - window
+        cache_rule = cache_rule & ~(
+            (t_j[None, :] == t) & (k_j[None, :] > token_type)
         )
+        # the freshly-written positions follow the within-step rule: state
+        # tokens attend all agents' states bidirectionally; rtg/action only
+        # their own (train_utils.py:96-111 within-block structure)
+        if token_type == mc.state_token_index:
+            cur_rule = jnp.ones((A, A), bool)
+        else:
+            cur_rule = jnp.eye(A, dtype=bool)
+        # the current positions are the contiguous block
+        # [(slot*K + token_type)*A, +A): overwrite with the within-step rule
+        mask = jnp.where(is_cur, False, cache_rule)
+        base = (slot * K + token_type) * A
+        mask = jax.lax.dynamic_update_slice(mask, cur_rule, (0, base))
+        mask = mask[None]
 
         x = tokens
-        # Thread ONE buffer through the layer loop: each layer reads the
-        # partially-updated cache (the positions this sub-pass writes are
-        # visibility-masked, so the values are irrelevant) — reading the
-        # *old* buffer instead would force XLA to materialize a full copy
-        # of the multi-hundred-MB cache per layer to preserve it.
-        k_buf = cache.k
-        v_buf = cache.v
-        slot = jnp.mod(t, window)
-        mask = jnp.concatenate([cache_vis, same_type_vis], axis=-1)[None]
-
+        use_pallas = bool(mc.use_pallas_attention) and jax.default_backend() == "tpu"
+        new_k, new_v = [], []
         for li, layer in enumerate(self.layers):
-            flat_k = k_buf[li].reshape(B, window * K * A, H)
-            flat_v = v_buf[li].reshape(B, window * K * A, H)
-            x, (k_new, v_new) = layer(
+            x, k_buf, v_buf = layer.decode_step(
                 x,
                 memory,
-                tgt_mask=mask,
-                memory_key_padding_mask=memory_valid,
-                deterministic=True,
-                self_cache_kv=(flat_k, flat_v),
-                return_self_kv=True,
+                cache.k[li],
+                cache.v[li],
+                slot,
+                token_type,
+                mask,
+                memory_valid,
+                use_pallas=use_pallas,
             )
-            # contiguous dynamic-update-slice into [li, :, slot, k, :, :]
-            idx = (li, 0, slot, token_type, 0, 0)
-            k_buf = jax.lax.dynamic_update_slice(
-                k_buf, k_new[None, :, None, None, :, :].astype(k_buf.dtype), idx
-            )
-            v_buf = jax.lax.dynamic_update_slice(
-                v_buf, v_new[None, :, None, None, :, :].astype(v_buf.dtype), idx
-            )
+            new_k.append(k_buf)
+            new_v.append(v_buf)
 
-        slot_t = cache.slot_t.at[slot].set(t)
-        return x, KVCache(k=k_buf, v=v_buf, slot_t=slot_t)
+        return x, KVCache(k=tuple(new_k), v=tuple(new_v), slot_t=slot_t)

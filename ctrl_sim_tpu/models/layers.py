@@ -51,18 +51,32 @@ class MLPLayer(nn.Module):
 
 
 class MultiHeadAttention(nn.Module):
-    """Batched multi-head attention with additive-boolean masking and an
-    optional KV cache interface for incremental decoding.
+    """Batched multi-head attention with additive-boolean masking.
 
     ``mask``: broadcastable boolean [batch?, heads?, Tq, Tk], True = attend.
     ``key_padding_mask``: [B, Tk] boolean, True = valid key.
+
+    setup()-style so the incremental decoder can call ``project_kv`` and
+    ``attend`` separately: the streaming path writes freshly projected K/V
+    into a ring-buffer cache FIRST and attends over the cache directly —
+    concatenating [cache, new] per layer materializes the multi-MB cache
+    every call and was the dominant rollout cost on TPU.
     """
 
     num_heads: int
     dtype: jnp.dtype = jnp.float32
     dropout: float = 0.0
+    d_model: int | None = None  # required (setup-style submodules)
 
-    @nn.compact
+    def setup(self):
+        if self.d_model is None:
+            raise ValueError("MultiHeadAttention requires d_model")
+        self.q_proj = _dense(self.d_model, self.dtype)
+        self.k_proj = _dense(self.d_model, self.dtype)
+        self.v_proj = _dense(self.d_model, self.dtype)
+        self.out_proj = _dense(self.d_model, self.dtype)
+        self.attn_dropout = nn.Dropout(rate=self.dropout)
+
     def __call__(
         self,
         query: Array,  # [B, Tq, D]
@@ -71,21 +85,35 @@ class MultiHeadAttention(nn.Module):
         mask: Array | None = None,
         key_padding_mask: Array | None = None,
         deterministic: bool = True,
-        cache_kv: tuple[Array, Array] | None = None,
-        return_kv: bool = False,
     ):
-        d_model = query.shape[-1]
+        q = self.q_proj(query)
+        k = self.k_proj(key)
+        v = self.v_proj(value)
+        out = self._attend_impl(q, k, v, mask, key_padding_mask, deterministic)
+        return self.out_proj(out)
+
+    def project_kv(self, key: Array, value: Array) -> tuple[Array, Array]:
+        """K/V projections only (for cache fills)."""
+        return self.k_proj(key), self.v_proj(value)
+
+    def attend(
+        self,
+        query: Array,  # [B, Tq, D]
+        k: Array,  # [B, Tk, D] pre-projected keys (e.g. the cache)
+        v: Array,  # [B, Tk, D]
+        mask: Array | None = None,
+        key_padding_mask: Array | None = None,
+        deterministic: bool = True,
+    ) -> Array:
+        q = self.q_proj(query)
+        out = self._attend_impl(q, k, v, mask, key_padding_mask, deterministic)
+        return self.out_proj(out)
+
+    def _attend_impl(
+        self, q, k, v, mask, key_padding_mask, deterministic
+    ) -> Array:
+        d_model = q.shape[-1]
         head_dim = d_model // self.num_heads
-
-        q = _dense(d_model, self.dtype, name="q_proj")(query)
-        k = _dense(d_model, self.dtype, name="k_proj")(key)
-        v = _dense(d_model, self.dtype, name="v_proj")(value)
-        new_kv = (k, v)
-        if cache_kv is not None:
-            # incremental decode: prepend previously projected keys/values
-            k = jnp.concatenate([cache_kv[0], k], axis=1)
-            v = jnp.concatenate([cache_kv[1], v], axis=1)
-
         B, Tq, _ = q.shape
         Tk = k.shape[1]
         q = q.reshape(B, Tq, self.num_heads, head_dim)
@@ -107,15 +135,11 @@ class MultiHeadAttention(nn.Module):
 
         weights = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
         if self.dropout > 0.0 and not deterministic:
-            weights = nn.Dropout(rate=self.dropout)(weights, deterministic=False)
+            weights = self.attn_dropout(weights, deterministic=False)
         out = jnp.einsum(
             "bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32
         ).astype(self.dtype)
-        out = out.reshape(B, Tq, d_model)
-        out = _dense(d_model, self.dtype, name="out_proj")(out)
-        if return_kv:
-            return out, new_kv
-        return out
+        return out.reshape(B, Tq, d_model)
 
 
 class TransformerEncoderLayer(nn.Module):
@@ -134,7 +158,8 @@ class TransformerEncoderLayer(nn.Module):
         deterministic: bool = True,
     ) -> Array:
         attn = MultiHeadAttention(
-            self.num_heads, self.dtype, self.dropout, name="self_attn"
+            self.num_heads, self.dtype, self.dropout, d_model=src.shape[-1],
+            name="self_attn",
         )(src, src, src, key_padding_mask=key_padding_mask, deterministic=deterministic)
         if self.dropout > 0.0 and not deterministic:
             attn = nn.Dropout(rate=self.dropout)(attn, deterministic=False)
@@ -152,14 +177,61 @@ class TransformerEncoderLayer(nn.Module):
 
 class TransformerDecoderLayer(nn.Module):
     """torch nn.TransformerDecoderLayer defaults: self-attn -> cross-attn ->
-    FF, each with residual + post-LN."""
+    FF, each with residual + post-LN. setup()-style so the streaming decoder
+    can run ``decode_step`` (cache-first incremental self-attention)."""
 
     num_heads: int
     dim_feedforward: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    d_model: int | None = None
 
-    @nn.compact
+    def setup(self):
+        if self.d_model is None:
+            raise ValueError("TransformerDecoderLayer requires d_model")
+        self.self_attn = MultiHeadAttention(
+            self.num_heads, self.dtype, self.dropout, d_model=self.d_model
+        )
+        self.cross_attn = MultiHeadAttention(
+            self.num_heads, self.dtype, self.dropout, d_model=self.d_model
+        )
+        self.linear1 = _dense(self.dim_feedforward, self.dtype)
+        self.linear2 = _dense(self.d_model, self.dtype)
+        self.norm1 = nn.LayerNorm(dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(dtype=self.dtype)
+        self.norm3 = nn.LayerNorm(dtype=self.dtype)
+        self.drop = nn.Dropout(rate=self.dropout)
+
+    def _after_self_attn(
+        self,
+        tgt: Array,
+        sa: Array,
+        memory: Array,
+        memory_key_padding_mask: Array | None,
+        deterministic: bool,
+    ) -> Array:
+        if self.dropout > 0.0 and not deterministic:
+            sa = self.drop(sa, deterministic=False)
+        tgt = self.norm1(tgt + sa)
+
+        ca = self.cross_attn(
+            tgt, memory, memory,
+            key_padding_mask=memory_key_padding_mask,
+            deterministic=deterministic,
+        )
+        if self.dropout > 0.0 and not deterministic:
+            ca = self.drop(ca, deterministic=False)
+        tgt = self.norm2(tgt + ca)
+
+        ff = self.linear1(tgt)
+        ff = nn.relu(ff)
+        if self.dropout > 0.0 and not deterministic:
+            ff = self.drop(ff, deterministic=False)
+        ff = self.linear2(ff)
+        if self.dropout > 0.0 and not deterministic:
+            ff = self.drop(ff, deterministic=False)
+        return self.norm3(tgt + ff)
+
     def __call__(
         self,
         tgt: Array,
@@ -167,52 +239,60 @@ class TransformerDecoderLayer(nn.Module):
         tgt_mask: Array | None = None,
         memory_key_padding_mask: Array | None = None,
         deterministic: bool = True,
-        self_cache_kv: tuple[Array, Array] | None = None,
-        return_self_kv: bool = False,
-    ):
-        sa_out = MultiHeadAttention(
-            self.num_heads, self.dtype, self.dropout, name="self_attn"
-        )(
-            tgt,
-            tgt,
-            tgt,
-            mask=tgt_mask,
-            deterministic=deterministic,
-            cache_kv=self_cache_kv,
-            return_kv=return_self_kv,
+    ) -> Array:
+        sa = self.self_attn(
+            tgt, tgt, tgt, mask=tgt_mask, deterministic=deterministic
         )
-        if return_self_kv:
-            sa, new_kv = sa_out
+        return self._after_self_attn(
+            tgt, sa, memory, memory_key_padding_mask, deterministic
+        )
+
+    def decode_step(
+        self,
+        tgt: Array,  # [B, A, H] new tokens
+        memory: Array,
+        k_buf: Array,  # [B, W, K, A, H] this layer's ring buffer
+        v_buf: Array,
+        slot: Array,  # traced int
+        token_type: int,
+        mask: Array,  # [Tq=A, W*K*A] boolean (True = attend), leading dims ok
+        memory_key_padding_mask: Array | None,
+        use_pallas: bool = False,
+    ) -> tuple[Array, Array, Array]:
+        """Cache-first incremental decode: write the new tokens' K/V into the
+        ring buffer with one contiguous dynamic-update-slice, then attend
+        over the buffer directly — no concatenation, no cache copies.
+
+        ``use_pallas`` routes the self-attention through the fused decode
+        kernel (ops/attention.py), which avoids the per-head reshape that
+        otherwise re-lays-out the whole cache in HBM every layer.
+        """
+        k_new, v_new = self.self_attn.project_kv(tgt, tgt)
+        B, W, K, A, H = k_buf.shape
+        idx = (0, slot, token_type, 0, 0)
+        k_buf = jax.lax.dynamic_update_slice(
+            k_buf, k_new[:, None, None, :, :].astype(k_buf.dtype), idx
+        )
+        v_buf = jax.lax.dynamic_update_slice(
+            v_buf, v_new[:, None, None, :, :].astype(v_buf.dtype), idx
+        )
+        flat_k = k_buf.reshape(B, W * K * A, H)
+        flat_v = v_buf.reshape(B, W * K * A, H)
+        if use_pallas:
+            from ctrl_sim_tpu.ops.attention import cached_decode_attention
+
+            mask2d = mask.reshape(mask.shape[-2], mask.shape[-1])
+            q = self.self_attn.q_proj(tgt)
+            sa = cached_decode_attention(
+                q, flat_k, flat_v, mask2d, self.num_heads
+            )
+            sa = self.self_attn.out_proj(sa)
         else:
-            sa = sa_out
-        if self.dropout > 0.0 and not deterministic:
-            sa = nn.Dropout(rate=self.dropout)(sa, deterministic=False)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt + sa)
-
-        ca = MultiHeadAttention(
-            self.num_heads, self.dtype, self.dropout, name="cross_attn"
-        )(
-            tgt,
-            memory,
-            memory,
-            key_padding_mask=memory_key_padding_mask,
-            deterministic=deterministic,
+            sa = self.self_attn.attend(tgt, flat_k, flat_v, mask=mask)
+        out = self._after_self_attn(
+            tgt, sa, memory, memory_key_padding_mask, True
         )
-        if self.dropout > 0.0 and not deterministic:
-            ca = nn.Dropout(rate=self.dropout)(ca, deterministic=False)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt + ca)
-
-        ff = _dense(self.dim_feedforward, self.dtype, name="linear1")(tgt)
-        ff = nn.relu(ff)
-        if self.dropout > 0.0 and not deterministic:
-            ff = nn.Dropout(rate=self.dropout)(ff, deterministic=False)
-        ff = _dense(tgt.shape[-1], self.dtype, name="linear2")(ff)
-        if self.dropout > 0.0 and not deterministic:
-            ff = nn.Dropout(rate=self.dropout)(ff, deterministic=False)
-        out = nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt + ff)
-        if return_self_kv:
-            return out, new_kv
-        return out
+        return out, k_buf, v_buf
 
 
 class Embed(nn.Module):

@@ -50,7 +50,7 @@ class MapEncoder(nn.Module):
         seed = jnp.broadcast_to(seed, (B * P, 1, H))
 
         pooled = MultiHeadAttention(
-            mc.num_heads, dtype, mc.dropout, name="road_pts_attn_layer"
+            mc.num_heads, dtype, mc.dropout, d_model=H, name="road_pts_attn_layer"
         )(
             seed,
             pts_feat,

@@ -204,6 +204,9 @@ class ModelConfig:
     # fused Pallas decode attention in the streaming rollout (TPU only;
     # avoids the per-head cache re-layout in HBM)
     use_pallas_attention: bool = True
+    # rematerialize transformer layers in the backward pass (trades FLOPs
+    # for the O(T^2) attention-score memory)
+    remat: bool = True
 
     @property
     def num_token_types(self) -> int:
@@ -253,6 +256,10 @@ class TrainConfig:
     weight_decay: float = 1e-4
     gradient_clip_val: float = 10.0
     global_batch_size: int = 64
+    # microbatch gradient accumulation: effective batch = global_batch_size,
+    # each step runs accum_steps sequential microbatches (the reference's
+    # global 64 = 16 x 4 GPUs; one chip uses 16 x 4 accumulation)
+    accum_steps: int = 1
     check_val_every_n_steps: int = 2000
     finetuning: bool = False
     replay_ratio: float = 0.5  # finetuning: fraction of real (non-CAT) samples

@@ -76,8 +76,13 @@ class Decoder(nn.Module):
         wc = self.cfg.waymo
         dtype = jnp.dtype(mc.compute_dtype)
         self._dtype = dtype
+        layer_cls = (
+            nn.remat(TransformerDecoderLayer, static_argnums=(5,))
+            if mc.remat
+            else TransformerDecoderLayer
+        )
         self.layers = [
-            TransformerDecoderLayer(
+            layer_cls(
                 mc.num_heads, mc.dim_feedforward, mc.dropout, dtype,
                 d_model=mc.hidden_dim, name=f"decoder_layer_{i}",
             )
@@ -122,13 +127,8 @@ class Decoder(nn.Module):
 
         x = tokens
         for layer in self.layers:
-            x = layer(
-                x,
-                memory,
-                tgt_mask=mask,
-                memory_key_padding_mask=memory_valid,
-                deterministic=deterministic,
-            )
+            # positional call: nn.remat static_argnums indexes positionally
+            x = layer(x, memory, mask, memory_valid, deterministic)
 
         B = x.shape[0]
         H = x.shape[-1]

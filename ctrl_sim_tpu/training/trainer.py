@@ -101,18 +101,46 @@ class Trainer:
         cfg = self.cfg
         model = self.model
 
+        accum = max(cfg.train.accum_steps, 1)
+
         def train_step(state: TrainState, batch: dict, dropout_rng: Array):
-            def loss_fn(params):
+            def loss_fn(params, microbatch, rng):
                 preds = model.apply(
-                    params,
-                    batch,
-                    deterministic=False,
-                    rngs={"dropout": jax.random.fold_in(dropout_rng, state.step)},
+                    params, microbatch, deterministic=False, rngs={"dropout": rng}
                 )
-                losses = compute_loss(cfg, batch, preds)
+                losses = compute_loss(cfg, microbatch, preds)
                 return losses.total, losses
 
-            grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+            base_rng = jax.random.fold_in(dropout_rng, state.step)
+            if accum == 1:
+                grads, losses = jax.grad(loss_fn, has_aux=True)(
+                    state.params, batch, base_rng
+                )
+            else:
+                # microbatch gradient accumulation: [B] -> [accum, B/accum]
+                def split(x):
+                    return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+
+                micro = jax.tree.map(split, batch)
+
+                def accum_body(carry, inp):
+                    acc_grads, _ = carry
+                    mb, i = inp
+                    g, losses = jax.grad(loss_fn, has_aux=True)(
+                        state.params, mb, jax.random.fold_in(base_rng, i)
+                    )
+                    acc_grads = jax.tree.map(jnp.add, acc_grads, g)
+                    return (acc_grads, losses), None
+
+                zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+                zero_losses = LossDict(*(jnp.zeros(()) for _ in LossDict._fields))
+                (grads, losses), _ = jax.lax.scan(
+                    accum_body,
+                    (zero_grads, zero_losses),
+                    (micro, jnp.arange(accum)),
+                )
+                grads = jax.tree.map(lambda g: g / accum, grads)
+
             tx = make_optimizer(cfg, state.params)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)

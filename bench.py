@@ -49,7 +49,7 @@ def main() -> None:
 
     mode = os.environ.get("BENCH_MODE", "streaming")
     total_envs = int(os.environ.get("BENCH_ENVS", "1024"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "256" if mode == "streaming" else "32"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "64" if mode == "streaming" else "32"))
 
     cfg = load_config()
     steps = cfg.sim.steps

@@ -207,6 +207,13 @@ class ModelConfig:
     # rematerialize transformer layers in the backward pass (trades FLOPs
     # for the O(T^2) attention-score memory)
     remat: bool = True
+    # Pallas flash attention for full-sequence decoding (training + exact
+    # rollout): the multi-agent causal mask is evaluated blockwise in-kernel
+    # and the [B, heads, T, T] score tensor is never materialized in HBM.
+    # TPU only unless flash_interpret (CPU tests run the kernel interpreted).
+    use_flash_attention: bool = True
+    flash_block_q: int = 128
+    flash_interpret: bool = False
 
     @property
     def num_token_types(self) -> int:

@@ -30,6 +30,7 @@ from flax import linen as nn
 from ctrl_sim_tpu.config import Config
 from ctrl_sim_tpu.models.layers import MLPLayer, TransformerDecoderLayer
 from ctrl_sim_tpu.ops import masks
+from ctrl_sim_tpu.ops.flash_attention import MaskSpec as FlashMaskSpec
 
 Array = jax.Array
 
@@ -77,14 +78,15 @@ class Decoder(nn.Module):
         dtype = jnp.dtype(mc.compute_dtype)
         self._dtype = dtype
         layer_cls = (
-            nn.remat(TransformerDecoderLayer, static_argnums=(5,))
+            nn.remat(TransformerDecoderLayer, static_argnums=(5, 6))
             if mc.remat
             else TransformerDecoderLayer
         )
         self.layers = [
             layer_cls(
                 mc.num_heads, mc.dim_feedforward, mc.dropout, dtype,
-                d_model=mc.hidden_dim, name=f"decoder_layer_{i}",
+                d_model=mc.hidden_dim, flash_block_q=mc.flash_block_q,
+                flash_interpret=mc.flash_interpret, name=f"decoder_layer_{i}",
             )
             for i in range(mc.num_decoder_layers)
         ]
@@ -116,19 +118,34 @@ class Decoder(nn.Module):
         A = wc.max_num_agents
         T = num_timesteps
 
-        mask = masks.multi_agent_causal_mask(
-            T,
-            A,
-            K,
-            state_index=mc.state_token_index,
-            attend_own_return_action=mc.attend_own_return_action,
-            window=window,
+        use_flash = bool(mc.use_flash_attention) and (
+            jax.default_backend() == "tpu" or mc.flash_interpret
         )
+        if use_flash:
+            # blockwise in-kernel mask: never materialize the [N, N] boolean
+            mask = None
+            mask_spec = FlashMaskSpec(
+                num_agents=A,
+                num_types=K,
+                state_index=mc.state_token_index,
+                attend_own_return_action=mc.attend_own_return_action,
+                window=window,
+            )
+        else:
+            mask = masks.multi_agent_causal_mask(
+                T,
+                A,
+                K,
+                state_index=mc.state_token_index,
+                attend_own_return_action=mc.attend_own_return_action,
+                window=window,
+            )
+            mask_spec = None
 
         x = tokens
         for layer in self.layers:
             # positional call: nn.remat static_argnums indexes positionally
-            x = layer(x, memory, mask, memory_valid, deterministic)
+            x = layer(x, memory, mask, memory_valid, deterministic, mask_spec)
 
         B = x.shape[0]
         H = x.shape[-1]

@@ -67,6 +67,8 @@ class MultiHeadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     dropout: float = 0.0
     d_model: int | None = None  # required (setup-style submodules)
+    flash_block_q: int = 128
+    flash_interpret: bool = False
 
     def setup(self):
         if self.d_model is None:
@@ -85,11 +87,27 @@ class MultiHeadAttention(nn.Module):
         mask: Array | None = None,
         key_padding_mask: Array | None = None,
         deterministic: bool = True,
+        mask_spec=None,  # ops.flash_attention.MaskSpec -> flash path
     ):
         q = self.q_proj(query)
         k = self.k_proj(key)
         v = self.v_proj(value)
-        out = self._attend_impl(q, k, v, mask, key_padding_mask, deterministic)
+        if mask_spec is not None:
+            from ctrl_sim_tpu.ops.flash_attention import flash_mha
+
+            dropout_p = self.dropout if not deterministic else 0.0
+            seed = None
+            if dropout_p > 0.0:
+                seed = jax.random.bits(
+                    self.make_rng("dropout"), (1,), jnp.uint32
+                )
+            out = flash_mha(
+                q, k, v, mask_spec, self.num_heads,
+                dropout_p=dropout_p, seed=seed,
+                block_q=self.flash_block_q, interpret=self.flash_interpret,
+            ).astype(self.dtype)
+        else:
+            out = self._attend_impl(q, k, v, mask, key_padding_mask, deterministic)
         return self.out_proj(out)
 
     def project_kv(self, key: Array, value: Array) -> tuple[Array, Array]:
@@ -185,12 +203,16 @@ class TransformerDecoderLayer(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     d_model: int | None = None
+    flash_block_q: int = 128
+    flash_interpret: bool = False
 
     def setup(self):
         if self.d_model is None:
             raise ValueError("TransformerDecoderLayer requires d_model")
         self.self_attn = MultiHeadAttention(
-            self.num_heads, self.dtype, self.dropout, d_model=self.d_model
+            self.num_heads, self.dtype, self.dropout, d_model=self.d_model,
+            flash_block_q=self.flash_block_q,
+            flash_interpret=self.flash_interpret,
         )
         self.cross_attn = MultiHeadAttention(
             self.num_heads, self.dtype, self.dropout, d_model=self.d_model
@@ -239,9 +261,11 @@ class TransformerDecoderLayer(nn.Module):
         tgt_mask: Array | None = None,
         memory_key_padding_mask: Array | None = None,
         deterministic: bool = True,
+        tgt_mask_spec=None,  # MaskSpec: flash self-attention, no dense mask
     ) -> Array:
         sa = self.self_attn(
-            tgt, tgt, tgt, mask=tgt_mask, deterministic=deterministic
+            tgt, tgt, tgt, mask=tgt_mask, deterministic=deterministic,
+            mask_spec=tgt_mask_spec,
         )
         return self._after_self_attn(
             tgt, sa, memory, memory_key_padding_mask, deterministic

@@ -70,6 +70,11 @@ class CtRLSim(nn.Module):
             road_points, road_types, init_emb, init_exist > 0
         )
 
+    def precompute_memory_kv(self, memory: Array) -> tuple:
+        """Per-layer cross-attention K/V of the static episode memory,
+        projected once per episode (see Decoder.memory_kv)."""
+        return self.decoder.memory_kv(memory)
+
     def stream_state(
         self,
         states12: Array,  # [B, A, 12]
@@ -80,6 +85,7 @@ class CtRLSim(nn.Module):
         memory: Array,
         memory_valid: Array,
         window: int,
+        memory_kv: tuple | None = None,
     ):
         """Append this step's state tokens; return (state-stream outputs
         [B, A, H] -> feed to the RTG head, updated cache)."""
@@ -91,8 +97,69 @@ class CtRLSim(nn.Module):
         )
         emb = self.encoder.embed_ln(emb)
         return self.decoder.decode_step(
-            emb, self.cfg.model.state_token_index, t, cache, memory, memory_valid, window
+            emb, self.cfg.model.state_token_index, t, cache, memory,
+            memory_valid, window, memory_kv=memory_kv,
         )
+
+    def stream_action_state(
+        self,
+        prev_actions: Array,  # [B, A] discrete ids applied at step t-1
+        prev_existence: Array,  # [B, A] existence mask at step t-1
+        states12: Array,  # [B, A, 12] current step's states
+        goals: Array,  # [B, A, goal_dim]
+        existence: Array,  # [B, A]
+        t: Array,
+        cache,
+        memory: Array,
+        memory_valid: Array,
+        window: int,
+        memory_kv: tuple | None = None,
+    ):
+        """Fused sub-pass: append the PREVIOUS step's action tokens together
+        with this step's state tokens in one decoder pass.
+
+        The action tokens of step t-1 are only needed in the cache (their
+        head outputs are discarded in rollout), so deferring their decode to
+        step t and batching it with the state pass halves the number of
+        full KV-cache reads per env step — the streaming rollout's dominant
+        cost. The causal mask keeps the two groups correctly ordered: state
+        queries at t see the t-1 action keys, action queries at t-1 do not
+        see the t state keys. At t = 0 the action group carries timestep -1
+        and stays fully masked (slot_t label -1) until its slot is genuinely
+        overwritten.
+
+        One documented deviation vs the sequential 3-pass decode: the t-1
+        action tokens are written after the ring slot for t-window has been
+        overwritten by this step's states, so their own receptive field
+        misses that single oldest timestep (window-1 instead of window
+        steps of history). Returns (state-stream outputs [B, A, H], cache).
+        """
+        A = states12.shape[1]
+        a_ids = jnp.broadcast_to(jnp.arange(A)[None, :], states12.shape[:2]).astype(jnp.int32)
+        t_prev = t - 1
+        emb_a = self.encoder.embed_action_tokens(
+            prev_actions,
+            jnp.full_like(a_ids, jnp.maximum(t_prev, 0)),
+            a_ids,
+            prev_existence[..., None],
+        )
+        emb_s = self.encoder.embed_state_tokens(
+            states12, goals, jnp.full_like(a_ids, t), a_ids, existence[..., None]
+        )
+        emb = self.encoder.embed_ln(jnp.concatenate([emb_a, emb_s], axis=1))
+        k_action = self.cfg.model.num_token_types - 1
+        x, cache = self.decoder.decode_step_groups(
+            [
+                (emb[:, :A], k_action, t_prev),
+                (emb[:, A:], self.cfg.model.state_token_index, t),
+            ],
+            cache,
+            memory,
+            memory_valid,
+            window,
+            memory_kv=memory_kv,
+        )
+        return x[:, A:], cache
 
     def stream_rtg(
         self,
@@ -103,6 +170,7 @@ class CtRLSim(nn.Module):
         memory: Array,
         memory_valid: Array,
         window: int,
+        memory_kv: tuple | None = None,
     ):
         """Append this step's RTG tokens; outputs feed the action head."""
         A = rtg_bins.shape[1]
@@ -112,7 +180,7 @@ class CtRLSim(nn.Module):
         emb = self.encoder.embed_ln(emb)
         k = 0 if self.cfg.model.decision_transformer else 1
         return self.decoder.decode_step(
-            emb, k, t, cache, memory, memory_valid, window
+            emb, k, t, cache, memory, memory_valid, window, memory_kv=memory_kv
         )
 
     def stream_action(
@@ -124,6 +192,7 @@ class CtRLSim(nn.Module):
         memory: Array,
         memory_valid: Array,
         window: int,
+        memory_kv: tuple | None = None,
     ):
         """Append this step's action tokens (populates the cache for future
         steps; outputs feed the future-state head if needed)."""
@@ -134,7 +203,7 @@ class CtRLSim(nn.Module):
         emb = self.encoder.embed_ln(emb)
         k = self.cfg.model.num_token_types - 1
         return self.decoder.decode_step(
-            emb, k, t, cache, memory, memory_valid, window
+            emb, k, t, cache, memory, memory_valid, window, memory_kv=memory_kv
         )
 
     def rtg_head(self, x: Array) -> Array:

@@ -171,6 +171,16 @@ class Decoder(nn.Module):
         )
 
     # ------------------------------------------------------------------
+    def memory_kv(self, memory: Array) -> tuple:
+        """Pre-project the static episode memory into each layer's
+        cross-attention K/V once per episode (the memory never changes over
+        the rollout, so re-projecting it per layer per sub-pass per env step
+        — the default path — is pure waste)."""
+        return tuple(
+            (layer.cross_attn.k_proj(memory), layer.cross_attn.v_proj(memory))
+            for layer in self.layers
+        )
+
     def decode_step(
         self,
         tokens: Array,  # [B, A, H] — one timestep, one token type (post embed_ln)
@@ -180,64 +190,96 @@ class Decoder(nn.Module):
         memory: Array,
         memory_valid: Array,
         window: int,
+        memory_kv: tuple | None = None,
     ) -> tuple[Array, KVCache]:
         """Incremental decode of A new tokens; returns layer-stack outputs
         [B, A, H] and the updated cache."""
+        return self.decode_step_groups(
+            [(tokens, token_type, t)], cache, memory, memory_valid, window,
+            memory_kv=memory_kv,
+        )
+
+    def decode_step_groups(
+        self,
+        groups,  # sequence of (tokens [B, A, H] post embed_ln, token_type int, t scalar)
+        cache: KVCache,
+        memory: Array,
+        memory_valid: Array,
+        window: int,
+        memory_kv: tuple | None = None,
+    ) -> tuple[Array, KVCache]:
+        """Incremental decode of one or more A-token groups in a single
+        decoder pass; returns layer-stack outputs [B, len(groups)*A, H]
+        (group-major, matching the input order) and the updated cache.
+
+        Multiple groups let the streaming rollout batch sub-passes whose
+        tokens are all available at once — e.g. the previous step's action
+        tokens together with the current step's state tokens — halving the
+        number of full KV-cache reads per env step (the rollout's dominant
+        cost; the cache is read once per layer per pass either way).
+
+        Cache-first decode: every group's K/V are written into the ring
+        buffer BEFORE attending, and the queries attend over the buffer
+        alone — no [cache ‖ new] concatenation (which materialized the
+        multi-MB cache every layer and dominated rollout time on TPU).
+
+        Masking uses the *true* flat token indices i = t*(A*K) + a*K + k on
+        both sides, so the training-time predicate (ops/masks.py) applies
+        verbatim: freshly-written groups see each other exactly as the full
+        decode would (states bidirectionally within a step, later-type
+        queries see earlier-type keys of their own agent, nothing sees the
+        future), and same-slot entries of a type not yet overwritten this
+        step — which carry K/V from t-window but are labeled t — are masked
+        by the index ordering itself.
+        """
         mc = self.cfg.model
         wc = self.cfg.waymo
         K = mc.num_token_types
         A = wc.max_num_agents
-        B = tokens.shape[0]
-        H = tokens.shape[-1]
 
-        # Cache-first decode: this sub-pass's K/V are written into the ring
-        # buffer BEFORE attending, and the query attends over the buffer
-        # alone — no [cache ‖ new] concatenation (which materialized the
-        # multi-MB cache every layer and dominated rollout time on TPU).
-        slot = jnp.mod(t, window)
-        slot_t = cache.slot_t.at[slot].set(t)  # updated first: the current
-        # slot's positions now carry t_j == t for the mask below
+        slot_t = cache.slot_t
+        writes = []  # (slot, token_type, row0) per group
+        for gi, (_, token_type, tg) in enumerate(groups):
+            slot = jnp.mod(tg, window)
+            # only label slots for real timesteps: a t = -1 group (the
+            # "previous action" block at episode start) writes junk K/V that
+            # must stay masked via slot_t == -1 until genuinely overwritten
+            slot_t = slot_t.at[slot].set(
+                jnp.where(tg >= 0, tg, slot_t[slot])
+            )
+            writes.append((slot, token_type, gi * A))
 
-        # coordinate grids for the [window, K, A] flat layout
+        # coordinate grids for the [window, K, A] flat cache layout
         a_j = jnp.tile(jnp.arange(A), window * K)  # [window*K*A]
         k_j = jnp.tile(jnp.repeat(jnp.arange(K), A), window)
         t_j = jnp.repeat(slot_t, K * A)
-        a_i = jnp.arange(A)
+        jj = t_j * (A * K) + a_j * K + k_j
 
-        is_cur = (t_j[None, :] == t) & (k_j[None, :] == token_type)
-        # past/current-earlier-type positions: the standard predicate with
-        # cache entries ordered strictly before the queries
-        cache_rule = masks.visible(
-            ti=t,
+        # query coordinates, group-major
+        a_i = jnp.tile(jnp.arange(A), len(groups))
+        t_i = jnp.concatenate(
+            [jnp.broadcast_to(jnp.asarray(tg, jnp.int32), (A,)) for _, _, tg in groups]
+        )
+        k_i = jnp.concatenate(
+            [jnp.full((A,), token_type, jnp.int32) for _, token_type, _ in groups]
+        )
+        ii = t_i * (A * K) + a_i * K + k_i
+
+        mask = masks.visible(
+            ti=t_i[:, None],
             ai=a_i[:, None],
-            ii=jnp.asarray(10**9),
+            ii=ii[:, None],
             tj=t_j[None, :],
             aj=a_j[None, :],
             kj=k_j[None, :],
-            jj=jnp.asarray(0),
+            jj=jj[None, :],
             state_index=mc.state_token_index,
             attend_own_return_action=mc.attend_own_return_action,
             window=window,
         ) & (t_j[None, :] >= 0)
-        # same-slot LATER token types are stale leftovers from t - window
-        cache_rule = cache_rule & ~(
-            (t_j[None, :] == t) & (k_j[None, :] > token_type)
-        )
-        # the freshly-written positions follow the within-step rule: state
-        # tokens attend all agents' states bidirectionally; rtg/action only
-        # their own (train_utils.py:96-111 within-block structure)
-        if token_type == mc.state_token_index:
-            cur_rule = jnp.ones((A, A), bool)
-        else:
-            cur_rule = jnp.eye(A, dtype=bool)
-        # the current positions are the contiguous block
-        # [(slot*K + token_type)*A, +A): overwrite with the within-step rule
-        mask = jnp.where(is_cur, False, cache_rule)
-        base = (slot * K + token_type) * A
-        mask = jax.lax.dynamic_update_slice(mask, cur_rule, (0, base))
         mask = mask[None]
 
-        x = tokens
+        x = jnp.concatenate([tokens for tokens, _, _ in groups], axis=1)
         use_pallas = bool(mc.use_pallas_attention) and jax.default_backend() == "tpu"
         new_k, new_v = [], []
         for li, layer in enumerate(self.layers):
@@ -246,11 +288,11 @@ class Decoder(nn.Module):
                 memory,
                 cache.k[li],
                 cache.v[li],
-                slot,
-                token_type,
+                writes,
                 mask,
                 memory_valid,
                 use_pallas=use_pallas,
+                mem_kv=None if memory_kv is None else memory_kv[li],
             )
             new_k.append(k_buf)
             new_v.append(v_buf)

@@ -231,16 +231,37 @@ class TransformerDecoderLayer(nn.Module):
         memory: Array,
         memory_key_padding_mask: Array | None,
         deterministic: bool,
+        mem_kv: tuple[Array, Array] | None = None,
+        use_pallas: bool = False,
     ) -> Array:
         if self.dropout > 0.0 and not deterministic:
             sa = self.drop(sa, deterministic=False)
         tgt = self.norm1(tgt + sa)
 
-        ca = self.cross_attn(
-            tgt, memory, memory,
-            key_padding_mask=memory_key_padding_mask,
-            deterministic=deterministic,
-        )
+        if mem_kv is not None:
+            # memory K/V pre-projected once per episode (the memory is
+            # static over the rollout): saves 2 projections per layer per
+            # sub-pass AND — via the fused kernel — the per-call head-split
+            # relayout of the memory in HBM
+            mk, mv = mem_kv
+            if use_pallas:
+                from ctrl_sim_tpu.ops.attention import cached_cross_attention
+
+                q = self.cross_attn.q_proj(tgt)
+                ca = cached_cross_attention(
+                    q, mk, mv, memory_key_padding_mask, self.num_heads
+                )
+                ca = self.cross_attn.out_proj(ca)
+            else:
+                ca = self.cross_attn.attend(
+                    tgt, mk, mv, key_padding_mask=memory_key_padding_mask
+                )
+        else:
+            ca = self.cross_attn(
+                tgt, memory, memory,
+                key_padding_mask=memory_key_padding_mask,
+                deterministic=deterministic,
+            )
         if self.dropout > 0.0 and not deterministic:
             ca = self.drop(ca, deterministic=False)
         tgt = self.norm2(tgt + ca)
@@ -273,19 +294,20 @@ class TransformerDecoderLayer(nn.Module):
 
     def decode_step(
         self,
-        tgt: Array,  # [B, A, H] new tokens
+        tgt: Array,  # [B, Q, H] new tokens (Q = len(writes) * A)
         memory: Array,
         k_buf: Array,  # [B, W, K, A, H] this layer's ring buffer
         v_buf: Array,
-        slot: Array,  # traced int
-        token_type: int,
-        mask: Array,  # [Tq=A, W*K*A] boolean (True = attend), leading dims ok
+        writes,  # sequence of (slot traced int, token_type int, row0 int)
+        mask: Array,  # [Tq=Q, W*K*A] boolean (True = attend), leading dims ok
         memory_key_padding_mask: Array | None,
         use_pallas: bool = False,
+        mem_kv: tuple[Array, Array] | None = None,
     ) -> tuple[Array, Array, Array]:
         """Cache-first incremental decode: write the new tokens' K/V into the
-        ring buffer with one contiguous dynamic-update-slice, then attend
-        over the buffer directly — no concatenation, no cache copies.
+        ring buffer with contiguous dynamic-update-slices (one per A-token
+        group in ``writes``), then attend over the buffer directly — no
+        concatenation, no cache copies.
 
         ``use_pallas`` routes the self-attention through the fused decode
         kernel (ops/attention.py), which avoids the per-head reshape that
@@ -293,13 +315,18 @@ class TransformerDecoderLayer(nn.Module):
         """
         k_new, v_new = self.self_attn.project_kv(tgt, tgt)
         B, W, K, A, H = k_buf.shape
-        idx = (0, slot, token_type, 0, 0)
-        k_buf = jax.lax.dynamic_update_slice(
-            k_buf, k_new[:, None, None, :, :].astype(k_buf.dtype), idx
-        )
-        v_buf = jax.lax.dynamic_update_slice(
-            v_buf, v_new[:, None, None, :, :].astype(v_buf.dtype), idx
-        )
+        for slot, token_type, row0 in writes:
+            idx = (0, slot, token_type, 0, 0)
+            k_buf = jax.lax.dynamic_update_slice(
+                k_buf,
+                k_new[:, row0 : row0 + A][:, None, None].astype(k_buf.dtype),
+                idx,
+            )
+            v_buf = jax.lax.dynamic_update_slice(
+                v_buf,
+                v_new[:, row0 : row0 + A][:, None, None].astype(v_buf.dtype),
+                idx,
+            )
         flat_k = k_buf.reshape(B, W * K * A, H)
         flat_v = v_buf.reshape(B, W * K * A, H)
         if use_pallas:
@@ -314,7 +341,8 @@ class TransformerDecoderLayer(nn.Module):
         else:
             sa = self.self_attn.attend(tgt, flat_k, flat_v, mask=mask)
         out = self._after_self_attn(
-            tgt, sa, memory, memory_key_padding_mask, True
+            tgt, sa, memory, memory_key_padding_mask, True,
+            mem_kv=mem_kv, use_pallas=use_pallas,
         )
         return out, k_buf, v_buf
 

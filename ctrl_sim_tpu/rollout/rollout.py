@@ -102,6 +102,37 @@ def _nearest_dist(position: Array, existence: Array) -> Array:
     )(position, existence)
 
 
+def dt_dense_reward3(cfg: Config, scenario: Scenario, env_state: EnvState, reward8: Array) -> Array:
+    """Per-step dense 3-component reward for the DT policy's real-time RTG
+    decay (evaluator.py:106-140 compute_dense_reward): goal-achieved, shaped
+    nearest-vehicle minus collision, shaped road-edge minus collision."""
+    wc = cfg.waymo
+    ex_now = env_state.alive.astype(jnp.float32)
+    nearest_now = _nearest_dist(env_state.bodies.position, ex_now)
+    veh_dist = jnp.clip(nearest_now * ex_now, 0.0, wc.max_veh_veh_distance) / (
+        wc.max_veh_veh_distance
+    )
+    from ctrl_sim_tpu.geometry import signed_distance_to_polylines
+
+    signed = jax.vmap(
+        lambda p, poly, v: signed_distance_to_polylines(p, poly, v)
+    )(
+        env_state.bodies.position,
+        jnp.asarray(scenario.edge_polylines),
+        jnp.asarray(scenario.edge_poly_valid),
+    )
+    dense_goal = reward8[..., 0] * wc.pos_target_achieved_rew_multiplier
+    dense_veh = veh_dist - reward8[..., 6] * wc.veh_veh_collision_rew_multiplier
+    dense_edge = (
+        jnp.clip(jnp.abs(signed), 0.0, 5.0) / 5.0
+        - reward8[..., 7] * wc.veh_edge_collision_rew_multiplier
+    )
+    return (
+        jnp.stack([dense_goal, dense_veh, dense_edge], axis=-1)
+        * ex_now[..., None]
+    )
+
+
 def select_focal_agents(scenario: Scenario, controlled_mask) -> Array:
     """Origin/focal agent per lane: the controlled vehicle with the longest
     GT existence (autoregressive_policy.py:88-94 sorts by trajectory
@@ -277,31 +308,7 @@ def run_closed_loop(
                 carry.rtgs_buf, rtg_rt[:, :, None, :], t, axis=2
             )
             carry = carry._replace(rtgs_buf=rtgs_buf_rt)
-            ex_now = env_state.alive.astype(jnp.float32)
-            nearest_now = _nearest_dist(env_state.bodies.position, ex_now)
-            veh_dist = jnp.clip(nearest_now * ex_now, 0.0, wc.max_veh_veh_distance) / (
-                wc.max_veh_veh_distance
-            )
-            from ctrl_sim_tpu.geometry import signed_distance_to_polylines
-
-            signed = jax.vmap(
-                lambda p, poly, v: signed_distance_to_polylines(p, poly, v)
-            )(
-                env_state.bodies.position,
-                jnp.asarray(scenario.edge_polylines),
-                jnp.asarray(scenario.edge_poly_valid),
-            )
-            dense_goal = reward8[..., 0] * wc.pos_target_achieved_rew_multiplier
-            dense_veh = veh_dist - reward8[..., 6] * wc.veh_veh_collision_rew_multiplier
-            dense_edge = (
-                jnp.clip(jnp.abs(signed), 0.0, 5.0) / 5.0
-                - reward8[..., 7] * wc.veh_edge_collision_rew_multiplier
-            )
-            dense3 = (
-                jnp.stack([dense_goal, dense_veh, dense_edge], axis=-1)
-                * ex_now[..., None]
-            )
-            rtg_rt = rtg_rt - dense3
+            rtg_rt = rtg_rt - dt_dense_reward3(cfg, scenario, env_state, reward8)
 
         token_index = jnp.minimum(t, T_ctx - 1)
         batch, order, slot_valid, relevant = model_inputs(carry, t)

@@ -148,6 +148,65 @@ def _streamed_logits(cfg, model, params, batch, data):
     return rtg, act
 
 
+def _streamed_logits_fused(cfg, model, params, batch, data):
+    """Same token stream through the 2-pass path the rollout uses: the
+    previous step's action tokens fused with the state pass
+    (stream_action_state), memory K/V pre-projected once."""
+    wc, mc = cfg.waymo, cfg.model
+    B, A, T = batch["agent_states"].shape[:3]
+    window = wc.train_context_length
+    K = mc.num_token_types
+
+    states12 = jnp.asarray(data["states12"])
+    goals = jnp.asarray(data["goals"])
+    exist = jnp.ones((B, A))
+    memory, memory_valid = model.apply(
+        params,
+        method=lambda m: m.encode_rollout_memory(
+            batch["road_points"], batch["road_types"],
+            states12[:, :, 0], goals, exist, jnp.asarray(0, jnp.int32),
+        ),
+    )
+    memory_kv = model.apply(
+        params, memory, method=lambda m, mem: m.precompute_memory_kv(mem)
+    )
+
+    cache = KVCache.create(
+        mc.num_decoder_layers, B, window, A, K, mc.hidden_dim, jnp.float32
+    )
+    prev_actions = jnp.zeros((B, A), jnp.int32)
+    prev_exist = jnp.zeros((B, A))
+    rtg_all, act_all = [], []
+    for t in range(T):
+        tt = jnp.asarray(t, jnp.int32)
+        x_state, cache = model.apply(
+            params,
+            method=lambda m: m.stream_action_state(
+                prev_actions, prev_exist, states12[:, :, t], goals, exist,
+                tt, cache, memory, memory_valid, window, memory_kv=memory_kv,
+            ),
+        )
+        rtg_all.append(
+            model.apply(params, x_state, method=lambda m, x: m.rtg_head(x))
+        )
+        x_rtg, cache = model.apply(
+            params,
+            method=lambda m: m.stream_rtg(
+                jnp.asarray(data["rtgs"][:, :, t]), exist, tt, cache, memory,
+                memory_valid, window, memory_kv=memory_kv,
+            ),
+        )
+        act_all.append(
+            model.apply(params, x_rtg, method=lambda m, x: m.action_head(x))
+        )
+        prev_actions = jnp.asarray(data["actions"][:, :, t], jnp.int32)
+        prev_exist = exist
+    wcd = cfg.waymo.rtg_discretization
+    rtg = jnp.stack(rtg_all, axis=2).reshape(B, A, T, wcd, 3)
+    act = jnp.stack(act_all, axis=2)
+    return rtg, act
+
+
 class TestStreamingEquivalence:
     def test_matches_full_decode_within_window(self, setup):
         cfg, model, params, batch, data = setup
@@ -158,6 +217,21 @@ class TestStreamingEquivalence:
         )
         np.testing.assert_allclose(
             np.asarray(s_act), np.asarray(full_act), atol=2e-4, rtol=1e-4
+        )
+
+    def test_fused_action_state_pass_matches_sequential(self, setup):
+        """The rollout's 2-pass decode (prev-action tokens fused with the
+        state pass, pre-projected memory K/V) must produce the same head
+        logits as the full decode within the window (no eviction -> the
+        deferred action write is semantically identical)."""
+        cfg, model, params, batch, data = setup
+        full_rtg, full_act = _full_logits(cfg, model, params, batch)
+        f_rtg, f_act = _streamed_logits_fused(cfg, model, params, batch, data)
+        np.testing.assert_allclose(
+            np.asarray(f_rtg), np.asarray(full_rtg), atol=2e-4, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(f_act), np.asarray(full_act), atol=2e-4, rtol=1e-4
         )
 
     def test_window_eviction_single_layer(self, setup):

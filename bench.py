@@ -50,8 +50,9 @@ def main() -> None:
     mode = os.environ.get("BENCH_MODE", "streaming")
     total_envs = int(os.environ.get("BENCH_ENVS", "1024"))
     chunk = int(os.environ.get("BENCH_CHUNK", "64" if mode == "streaming" else "32"))
+    kv_dtype = os.environ.get("BENCH_KV", "bfloat16")  # bfloat16 | int8
 
-    cfg = load_config()
+    cfg = load_config({"model.kv_cache_dtype": kv_dtype})
     steps = cfg.sim.steps
 
     # one chunk of synthetic scenes, reused for every chunk (same shapes; the
@@ -124,6 +125,7 @@ def main() -> None:
         "vs_baseline": round(eps / 100_000.0, 4),
         "detail": {
             "mode": mode,
+            "kv_dtype": kv_dtype,
             "envs": n_chunks * chunk,
             "chunk": chunk,
             "steps": steps,

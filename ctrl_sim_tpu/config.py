@@ -201,6 +201,10 @@ class ModelConfig:
 
     # numeric policy: params in fp32, activations/matmuls in bfloat16 on TPU
     compute_dtype: str = "bfloat16"
+    # streaming rollout KV-cache storage: "bfloat16" (exact) or "int8"
+    # (per-token symmetric quantization — halves the cache HBM traffic that
+    # dominates rollout time; scales stay fp32, softmax/accumulation fp32)
+    kv_cache_dtype: str = "bfloat16"
     # fused Pallas decode attention in the streaming rollout (TPU only;
     # avoids the per-head cache re-layout in HBM)
     use_pallas_attention: bool = True

@@ -50,14 +50,31 @@ class KVCache(NamedTuple):
     each buffer's dataflow linear so XLA updates it in place inside the scan
     (a single stacked [L, ...] array forced whole-cache copies).
     slot_t: [window] — the episode timestep stored in each slot (-1 empty).
+
+    With ``dtype == int8`` (model.kv_cache_dtype), k/v hold per-token
+    symmetrically quantized values and k_scale/v_scale the fp32 row scales
+    [B, window, K, A] — the cache read is the streaming rollout's dominant
+    HBM traffic, and int8 halves it at <0.5% relative error per row.
     """
 
     k: tuple
     v: tuple
     slot_t: Array
+    k_scale: tuple | None = None
+    v_scale: tuple | None = None
 
     @staticmethod
     def create(num_layers: int, B: int, window: int, A: int, K: int, H: int, dtype):
+        dtype = jnp.dtype(dtype)
+        quantized = dtype == jnp.int8
+        scales = (
+            tuple(
+                jnp.zeros((B, window, K, A), jnp.float32)
+                for _ in range(num_layers)
+            )
+            if quantized
+            else None
+        )
         return KVCache(
             k=tuple(
                 jnp.zeros((B, window, K, A, H), dtype) for _ in range(num_layers)
@@ -66,6 +83,15 @@ class KVCache(NamedTuple):
                 jnp.zeros((B, window, K, A, H), dtype) for _ in range(num_layers)
             ),
             slot_t=jnp.full((window,), -1, jnp.int32),
+            k_scale=scales,
+            v_scale=(
+                tuple(
+                    jnp.zeros((B, window, K, A), jnp.float32)
+                    for _ in range(num_layers)
+                )
+                if quantized
+                else None
+            ),
         )
 
 
@@ -281,9 +307,10 @@ class Decoder(nn.Module):
 
         x = jnp.concatenate([tokens for tokens, _, _ in groups], axis=1)
         use_pallas = bool(mc.use_pallas_attention) and jax.default_backend() == "tpu"
-        new_k, new_v = [], []
+        quantized = cache.k_scale is not None
+        new_k, new_v, new_ks, new_vs = [], [], [], []
         for li, layer in enumerate(self.layers):
-            x, k_buf, v_buf = layer.decode_step(
+            x, k_buf, v_buf, ks_buf, vs_buf = layer.decode_step(
                 x,
                 memory,
                 cache.k[li],
@@ -293,8 +320,18 @@ class Decoder(nn.Module):
                 memory_valid,
                 use_pallas=use_pallas,
                 mem_kv=None if memory_kv is None else memory_kv[li],
+                k_scale_buf=cache.k_scale[li] if quantized else None,
+                v_scale_buf=cache.v_scale[li] if quantized else None,
             )
             new_k.append(k_buf)
             new_v.append(v_buf)
+            new_ks.append(ks_buf)
+            new_vs.append(vs_buf)
 
-        return x, KVCache(k=tuple(new_k), v=tuple(new_v), slot_t=slot_t)
+        return x, KVCache(
+            k=tuple(new_k),
+            v=tuple(new_v),
+            slot_t=slot_t,
+            k_scale=tuple(new_ks) if quantized else None,
+            v_scale=tuple(new_vs) if quantized else None,
+        )

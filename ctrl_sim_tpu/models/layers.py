@@ -232,7 +232,6 @@ class TransformerDecoderLayer(nn.Module):
         memory_key_padding_mask: Array | None,
         deterministic: bool,
         mem_kv: tuple[Array, Array] | None = None,
-        use_pallas: bool = False,
     ) -> Array:
         if self.dropout > 0.0 and not deterministic:
             sa = self.drop(sa, deterministic=False)
@@ -241,21 +240,15 @@ class TransformerDecoderLayer(nn.Module):
         if mem_kv is not None:
             # memory K/V pre-projected once per episode (the memory is
             # static over the rollout): saves 2 projections per layer per
-            # sub-pass AND — via the fused kernel — the per-call head-split
-            # relayout of the memory in HBM
+            # sub-pass, and the per-head reshape of the loop-invariant
+            # K/V is hoisted out of the rollout scan by XLA. (A fused
+            # Pallas cross-attention kernel was measured SLOWER here:
+            # M=224 keys gives each grid program ~µs of work, so the
+            # per-program overhead dominates — see ops/attention.py.)
             mk, mv = mem_kv
-            if use_pallas:
-                from ctrl_sim_tpu.ops.attention import cached_cross_attention
-
-                q = self.cross_attn.q_proj(tgt)
-                ca = cached_cross_attention(
-                    q, mk, mv, memory_key_padding_mask, self.num_heads
-                )
-                ca = self.cross_attn.out_proj(ca)
-            else:
-                ca = self.cross_attn.attend(
-                    tgt, mk, mv, key_padding_mask=memory_key_padding_mask
-                )
+            ca = self.cross_attn.attend(
+                tgt, mk, mv, key_padding_mask=memory_key_padding_mask
+            )
         else:
             ca = self.cross_attn(
                 tgt, memory, memory,
@@ -303,7 +296,9 @@ class TransformerDecoderLayer(nn.Module):
         memory_key_padding_mask: Array | None,
         use_pallas: bool = False,
         mem_kv: tuple[Array, Array] | None = None,
-    ) -> tuple[Array, Array, Array]:
+        k_scale_buf: Array | None = None,  # [B, W, K, A] fp32 (int8 cache)
+        v_scale_buf: Array | None = None,
+    ):
         """Cache-first incremental decode: write the new tokens' K/V into the
         ring buffer with contiguous dynamic-update-slices (one per A-token
         group in ``writes``), then attend over the buffer directly — no
@@ -311,10 +306,20 @@ class TransformerDecoderLayer(nn.Module):
 
         ``use_pallas`` routes the self-attention through the fused decode
         kernel (ops/attention.py), which avoids the per-head reshape that
-        otherwise re-lays-out the whole cache in HBM every layer.
+        otherwise re-lays-out the whole cache in HBM every layer. An int8
+        ``k_buf``/``v_buf`` (with scale buffers) halves that cache traffic;
+        new K/V rows are quantized per token on write.
+
+        Returns (out, k_buf, v_buf, k_scale_buf, v_scale_buf).
         """
+        quantized = jnp.dtype(k_buf.dtype) == jnp.int8
         k_new, v_new = self.self_attn.project_kv(tgt, tgt)
         B, W, K, A, H = k_buf.shape
+        if quantized:
+            from ctrl_sim_tpu.ops.attention import quantize_rows
+
+            k_new, k_s = quantize_rows(k_new)
+            v_new, v_s = quantize_rows(v_new)
         for slot, token_type, row0 in writes:
             idx = (0, slot, token_type, 0, 0)
             k_buf = jax.lax.dynamic_update_slice(
@@ -327,24 +332,49 @@ class TransformerDecoderLayer(nn.Module):
                 v_new[:, row0 : row0 + A][:, None, None].astype(v_buf.dtype),
                 idx,
             )
+            if quantized:
+                sidx = (0, slot, token_type, 0)
+                k_scale_buf = jax.lax.dynamic_update_slice(
+                    k_scale_buf, k_s[:, None, None, row0 : row0 + A], sidx
+                )
+                v_scale_buf = jax.lax.dynamic_update_slice(
+                    v_scale_buf, v_s[:, None, None, row0 : row0 + A], sidx
+                )
         flat_k = k_buf.reshape(B, W * K * A, H)
         flat_v = v_buf.reshape(B, W * K * A, H)
         if use_pallas:
-            from ctrl_sim_tpu.ops.attention import cached_decode_attention
-
-            mask2d = mask.reshape(mask.shape[-2], mask.shape[-1])
             q = self.self_attn.q_proj(tgt)
-            sa = cached_decode_attention(
-                q, flat_k, flat_v, mask2d, self.num_heads
-            )
+            mask2d = mask.reshape(mask.shape[-2], mask.shape[-1])
+            if quantized:
+                from ctrl_sim_tpu.ops.attention import cached_decode_attention_q8
+
+                sa = cached_decode_attention_q8(
+                    q, flat_k, flat_v,
+                    k_scale_buf.reshape(B, W * K * A),
+                    v_scale_buf.reshape(B, W * K * A),
+                    mask2d, self.num_heads,
+                )
+            else:
+                from ctrl_sim_tpu.ops.attention import cached_decode_attention
+
+                sa = cached_decode_attention(
+                    q, flat_k, flat_v, mask2d, self.num_heads
+                )
             sa = self.self_attn.out_proj(sa)
         else:
+            if quantized:
+                # reference dequantized path (CPU tests / non-TPU backends)
+                flat_k = flat_k.astype(self.dtype) * k_scale_buf.reshape(
+                    B, W * K * A, 1
+                ).astype(self.dtype)
+                flat_v = flat_v.astype(self.dtype) * v_scale_buf.reshape(
+                    B, W * K * A, 1
+                ).astype(self.dtype)
             sa = self.self_attn.attend(tgt, flat_k, flat_v, mask=mask)
         out = self._after_self_attn(
-            tgt, sa, memory, memory_key_padding_mask, True,
-            mem_kv=mem_kv, use_pallas=use_pallas,
+            tgt, sa, memory, memory_key_padding_mask, True, mem_kv=mem_kv
         )
-        return out, k_buf, v_buf
+        return out, k_buf, v_buf, k_scale_buf, v_scale_buf
 
 
 class Embed(nn.Module):

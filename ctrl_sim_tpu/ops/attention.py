@@ -17,16 +17,18 @@ Per-lane working set at full size (N = 32*3*24 = 2304, H = 256, bf16):
 q 12-24 KB + K/V 2.4 MB + scores 0.9 MB — comfortably inside VMEM, so the
 grid is simply (B,) with no inner blocking.
 
-Two entry points:
+Entry point: ``cached_decode_attention`` — self-attention of Q new tokens
+over the ring buffer under a [Q, N] boolean mask shared across the batch
+(the multi-agent causal predicate evaluated against the slot->timestep map).
 
-- ``cached_decode_attention``: self-attention of Q new tokens over the ring
-  buffer under a [Q, N] boolean mask shared across the batch (the
-  multi-agent causal predicate evaluated against the slot->timestep map).
-- ``cached_cross_attention``: cross-attention over the static episode
-  memory (map polylines + initial states) with pre-projected K/V and a
-  per-lane [B, M] key-padding mask. Pre-projecting K/V once per episode
-  removes 2 projections x layers x sub-passes per env step AND the per-call
-  head-split relayout of the memory.
+Negative result, for the record: a matching fused kernel for the
+cross-attention over the static episode memory (M = 224 keys) measured 9x
+SLOWER than the XLA einsum path — each grid program has only ~µs of work at
+that size, so per-program overhead dominates. The einsum path wins because
+the pre-projected memory K/V are loop-invariant and XLA hoists their
+per-head reshape out of the rollout scan. Fused decode attention over the
+2.4 MB/lane cache, where the per-program DMA is the cost, is where Pallas
+pays off.
 """
 
 from __future__ import annotations
@@ -46,7 +48,10 @@ def _attn_body(num_heads: int, q, k, v, mask, o_ref):
     H = q.shape[-1]
     head_dim = H // num_heads
     scale = 1.0 / (head_dim ** 0.5)
-    neg = jnp.finfo(jnp.float32).min
+    # additive bias computed once, reused by every head; arithmetic form —
+    # jnp.where(mask != 0, 0., min) makes Mosaic relayout an i1 vector
+    # against scalar branches, which it cannot do
+    bias = (1.0 - mask.astype(jnp.float32)) * jnp.finfo(jnp.float32).min
 
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
@@ -60,8 +65,8 @@ def _attn_body(num_heads: int, q, k, v, mask, o_ref):
                 preferred_element_type=jnp.float32,
             )
             * scale
+            + bias
         )  # [Q, N] fp32
-        scores = jnp.where(mask != 0, scores, neg)
         weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         out_h = jnp.dot(weights, vh, preferred_element_type=jnp.float32)
         o_ref[:, sl] = out_h.astype(o_ref.dtype)
@@ -103,40 +108,81 @@ def cached_decode_attention(
     return out
 
 
-def _cross_kernel(num_heads, q_ref, k_ref, v_ref, kpm_ref, o_ref):
-    q = q_ref[0]  # [Q, H]
-    Q = q.shape[0]
-    kpm = kpm_ref[0]  # [1, M] int8 (kpm block is [1, 1, M])
-    mask = jnp.broadcast_to(kpm, (Q, kpm.shape[-1]))
-    _attn_body(num_heads, q, k_ref[0], v_ref[0], mask, o_ref.at[0])
+def _attn_body_q8(num_heads, q, k_i8, v_i8, k_scale, v_scale, mask, o_ref):
+    """Quantized-cache variant: k/v are int8 [N, H] with fp32 row scales
+    [1, N]. The K scale folds into the score row-scale (q . (k*s) =
+    (q . k) * s), the V scale into the softmax weights — so the matmuls run
+    on the raw int8 values cast to the compute dtype (exact: |x| <= 127)."""
+    H = q.shape[-1]
+    head_dim = H // num_heads
+    bias = (1.0 - mask.astype(jnp.float32)) * jnp.finfo(jnp.float32).min
+    k_row = k_scale * (1.0 / (head_dim ** 0.5))  # [1, N]
+    kf = k_i8.astype(q.dtype)
+    vf = v_i8.astype(q.dtype)
+
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        scores = (
+            jax.lax.dot_general(
+                q[:, sl], kf[:, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * k_row
+            + bias
+        )
+        weights = jax.nn.softmax(scores, axis=-1)
+        wv = (weights * v_scale).astype(q.dtype)
+        out_h = jnp.dot(wv, vf[:, sl], preferred_element_type=jnp.float32)
+        o_ref[:, sl] = out_h.astype(o_ref.dtype)
+
+
+def _decode_kernel_q8(num_heads, q_ref, k_ref, v_ref, ks_ref, vs_ref, mask_ref, o_ref):
+    _attn_body_q8(
+        num_heads, q_ref[0], k_ref[0], v_ref[0], ks_ref[0], vs_ref[0],
+        mask_ref[:], o_ref.at[0],
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads",))
-def cached_cross_attention(
+def cached_decode_attention_q8(
     q: Array,  # [B, Q, H]
-    k: Array,  # [B, M, H] pre-projected memory keys
-    v: Array,  # [B, M, H]
-    key_padding_mask: Array,  # [B, M] bool, True = valid
+    k: Array,  # [B, N, H] int8
+    v: Array,  # [B, N, H] int8
+    k_scale: Array,  # [B, N] fp32 per-token scales
+    v_scale: Array,  # [B, N] fp32
+    mask: Array,  # [Q, N] bool (shared across batch)
     num_heads: int,
 ) -> Array:
-    """Fused cross-attention over a static (pre-projected) memory."""
+    """Fused masked multi-head attention over an int8-quantized cache."""
     B, Q, H = q.shape
-    M = k.shape[1]
-    # [B, 1, M]: the TPU lowering requires the trailing two block dims to be
-    # (8k, 128k) or match the array dims; a [1, M] block over [B, M] fails
-    kpm_i8 = key_padding_mask.astype(jnp.int8)[:, None, :]
+    N = k.shape[1]
+    mask_i8 = mask.astype(jnp.int8)
+    ks = k_scale[:, None, :]  # [B, 1, N] — trailing block dims must tile
+    vs = v_scale[:, None, :]
 
-    kernel = functools.partial(_cross_kernel, num_heads)
+    kernel = functools.partial(_decode_kernel_q8, num_heads)
     out = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, Q, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, M), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, N), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, Q, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Q, H), q.dtype),
-    )(q, k, v, kpm_i8)
+    )(q, k, v, ks, vs, mask_i8)
     return out
+
+
+def quantize_rows(x: Array) -> tuple[Array, Array]:
+    """Per-token symmetric int8 quantization over the last axis:
+    returns (int8 values, fp32 scales) with x ~= values * scales[..., None]."""
+    s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s[..., None]), -127, 127)
+    return q.astype(jnp.int8), s

@@ -197,7 +197,12 @@ def run_streaming(
         params, memory, method=lambda m, mem: m.precompute_memory_kv(mem)
     )
 
-    cache0 = KVCache.create(mc.num_decoder_layers, E, window, A, K, H, dtype)
+    cache_dtype = (
+        jnp.int8 if mc.kv_cache_dtype == "int8" else dtype
+    )
+    cache0 = KVCache.create(
+        mc.num_decoder_layers, E, window, A, K, H, cache_dtype
+    )
 
     moving = (
         jnp.linalg.norm(env_state0.bodies.position - goals5[..., :2], axis=-1)

@@ -9,7 +9,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ctrl_sim_tpu.ops.attention import _cross_kernel, _decode_kernel
+from ctrl_sim_tpu.ops.attention import (
+    _decode_kernel,
+    _decode_kernel_q8,
+    quantize_rows,
+)
 
 
 def _reference(q, k, v, mask, num_heads):
@@ -60,32 +64,44 @@ def test_decode_kernel_matches_reference_interpret():
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
 
 
-def test_cross_kernel_matches_reference_interpret():
-    rng = np.random.default_rng(1)
-    B, Q, M, H, heads = 3, 8, 24, 64, 2
-    q = jnp.asarray(rng.normal(size=(B, Q, H)), jnp.float32)
-    k = jnp.asarray(rng.normal(size=(B, M, H)), jnp.float32)
-    v = jnp.asarray(rng.normal(size=(B, M, H)), jnp.float32)
-    kpm = jnp.asarray(rng.random((B, M)) > 0.3)
-    kpm = kpm.at[:, 0].set(True)
+def test_decode_kernel_q8_matches_dequantized_reference():
+    """int8 cache kernel == einsum attention over the dequantized K/V
+    (the quantization error itself cancels: both sides see the same
+    int8*scale values; only softmax/accum order differs)."""
+    rng = np.random.default_rng(3)
+    B, A, N, H, heads = 2, 8, 48, 64, 2
+    q = jnp.asarray(rng.normal(size=(B, A, H)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, N, H)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, N, H)), jnp.float32)
+    mask = jnp.asarray(rng.random((A, N)) > 0.3).at[:, 0].set(True)
 
-    kernel = functools.partial(_cross_kernel, heads)
+    k_i8, ks = quantize_rows(k)
+    v_i8, vs = quantize_rows(v)
+
+    kernel = functools.partial(_decode_kernel_q8, heads)
     out = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, Q, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, M), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((A, N), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Q, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Q, H), q.dtype),
+        out_specs=pl.BlockSpec((1, A, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, A, H), q.dtype),
         interpret=True,
-    )(q, k, v, kpm.astype(jnp.int8)[:, None, :])
+    )(q, k_i8, v_i8, ks[:, None, :], vs[:, None, :], mask.astype(jnp.int8))
 
-    want = _reference(q, k, v, kpm, heads)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+    k_dq = k_i8.astype(jnp.float32) * ks[..., None]
+    v_dq = v_i8.astype(jnp.float32) * vs[..., None]
+    want = _reference(q, k_dq, v_dq, mask, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-4)
+    # and the quantized result stays close to the unquantized attention
+    want_fp = _reference(q, k, v, mask, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want_fp), atol=0.05)
 
 
 def test_decode_kernel_bf16_inputs_interpret():

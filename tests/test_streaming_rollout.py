@@ -98,6 +98,34 @@ def test_streaming_gt_replay_matches_exact(setup):
     )
 
 
+def test_streaming_int8_kv_cache_close_to_bf16(setup):
+    """kv_cache_dtype=int8 (CPU dequantized path) must track the exact-cache
+    rollout: identical GT-replay trajectories (policy logits unused), and a
+    running smoke with controlled agents stays finite."""
+    cfg, model, params, sb, sbj = setup
+    from ctrl_sim_tpu.config import _set_dotted as sd
+
+    cfg8 = sd(cfg, "model.kv_cache_dtype", "int8")
+    controlled = jnp.zeros_like(jnp.asarray(sb.moving))
+    ro8 = jax.jit(
+        lambda s, p, c, r: run_streaming(cfg8, model, p, s, c, r, None)
+    )(sbj, params, controlled, jax.random.PRNGKey(1))
+    ro = jax.jit(
+        lambda s, p, c, r: run_streaming(cfg, model, p, s, c, r, None)
+    )(sbj, params, controlled, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        np.asarray(ro8.position), np.asarray(ro.position), atol=1e-5
+    )
+
+    controlled = jnp.asarray(sb.moving) & jnp.asarray(sb.agent_valid)
+    ro8c = jax.jit(
+        lambda s, p, c, r: run_streaming(cfg8, model, p, s, c, r, None)
+    )(sbj, params, controlled, jax.random.PRNGKey(1))
+    ro8c = jax.tree.map(np.asarray, ro8c)
+    live = ro8c.position > -1e5
+    assert np.isfinite(ro8c.position[live]).all()
+
+
 @pytest.mark.parametrize("family", ["dt", "il", "trajeglish"])
 def test_streaming_variant_rollout_runs(family):
     """DT (one fused rtg+state pass with real-time RTG decay), IL (K=2) and

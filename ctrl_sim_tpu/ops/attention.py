@@ -43,15 +43,29 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
+_MASK_NEG = -1e30  # exp2 of (x + _MASK_NEG) underflows to exactly 0
+
+
 def _attn_body(num_heads: int, q, k, v, mask, o_ref):
-    """q [Q, H] attends k/v [N, H] under boolean/int8 mask [Q, N]."""
+    """q [Q, H] attends k/v [N, H] under boolean/int8 mask [Q, N].
+
+    The kernel is VPU-bound (the [Q, N] softmax passes dominate, not the
+    MXU dots or the DMA), so every elementwise pass over [Q, N] counts:
+
+    - q arrives PRE-SCALED by (1/sqrt(d)) * log2(e) (see the wrappers), so
+      scores feed exp2 directly — no per-head scale pass, and exp2 is the
+      TPU's native transcendental (exp lowers to exp2 + a multiply pass);
+    - the mask bias is computed once, reused by all heads (arithmetic form:
+      Mosaic cannot relayout i1 vectors against scalar where-branches);
+    - the softmax denominator divides the [Q, d] output, not the [Q, N]
+      weights.
+
+    Fully-masked rows (t = -1 query groups at episode start) come out
+    uniform-over-N and finite — their outputs are discarded by the caller.
+    """
     H = q.shape[-1]
     head_dim = H // num_heads
-    scale = 1.0 / (head_dim ** 0.5)
-    # additive bias computed once, reused by every head; arithmetic form —
-    # jnp.where(mask != 0, 0., min) makes Mosaic relayout an i1 vector
-    # against scalar branches, which it cannot do
-    bias = (1.0 - mask.astype(jnp.float32)) * jnp.finfo(jnp.float32).min
+    bias = (1.0 - mask.astype(jnp.float32)) * _MASK_NEG
 
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
@@ -64,11 +78,14 @@ def _attn_body(num_heads: int, q, k, v, mask, o_ref):
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            * scale
             + bias
-        )  # [Q, N] fp32
-        weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        out_h = jnp.dot(weights, vh, preferred_element_type=jnp.float32)
+        )  # [Q, N] fp32, already in log2 units
+        m = jnp.max(scores, axis=-1, keepdims=True)  # [Q, 1]
+        e = jnp.exp2(scores - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)  # [Q, 1]
+        out_h = jnp.dot(
+            e.astype(v.dtype), vh, preferred_element_type=jnp.float32
+        ) / denom
         o_ref[:, sl] = out_h.astype(o_ref.dtype)
 
 
@@ -79,18 +96,24 @@ def _decode_kernel(num_heads, q_ref, k_ref, v_ref, mask_ref, o_ref):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads",))
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
 def cached_decode_attention(
     q: Array,  # [B, Q, H]
     k: Array,  # [B, N, H]
     v: Array,  # [B, N, H]
     mask: Array,  # [Q, N] bool (shared across batch)
     num_heads: int,
+    interpret: bool = False,
 ) -> Array:
     """Fused masked multi-head attention over a decode cache."""
     B, Q, H = q.shape
     N = k.shape[1]
     mask_i8 = mask.astype(jnp.int8)
+    # pre-scale q outside the kernel (XLA fuses this into the projection):
+    # 1/sqrt(d) for attention scaling, log2(e) so the kernel softmax runs on
+    # exp2 — saves two [Q, N] passes per head in the VPU-bound kernel
+    head_dim = H // num_heads
+    q = q * jnp.asarray(1.4426950408889634 / (head_dim ** 0.5), q.dtype)
 
     kernel = functools.partial(_decode_kernel, num_heads)
     out = pl.pallas_call(
@@ -104,6 +127,7 @@ def cached_decode_attention(
         ],
         out_specs=pl.BlockSpec((1, Q, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Q, H), q.dtype),
+        interpret=interpret,
     )(q, k, v, mask_i8)
     return out
 
@@ -112,11 +136,11 @@ def _attn_body_q8(num_heads, q, k_i8, v_i8, k_scale, v_scale, mask, o_ref):
     """Quantized-cache variant: k/v are int8 [N, H] with fp32 row scales
     [1, N]. The K scale folds into the score row-scale (q . (k*s) =
     (q . k) * s), the V scale into the softmax weights — so the matmuls run
-    on the raw int8 values cast to the compute dtype (exact: |x| <= 127)."""
+    on the raw int8 values cast to the compute dtype (exact: |x| <= 127).
+    q arrives pre-scaled by (1/sqrt(d)) * log2(e), as in _attn_body."""
     H = q.shape[-1]
     head_dim = H // num_heads
-    bias = (1.0 - mask.astype(jnp.float32)) * jnp.finfo(jnp.float32).min
-    k_row = k_scale * (1.0 / (head_dim ** 0.5))  # [1, N]
+    bias = (1.0 - mask.astype(jnp.float32)) * _MASK_NEG
     kf = k_i8.astype(q.dtype)
     vf = v_i8.astype(q.dtype)
 
@@ -128,12 +152,16 @@ def _attn_body_q8(num_heads, q, k_i8, v_i8, k_scale, v_scale, mask, o_ref):
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            * k_row
+            * k_scale
             + bias
-        )
-        weights = jax.nn.softmax(scores, axis=-1)
-        wv = (weights * v_scale).astype(q.dtype)
-        out_h = jnp.dot(wv, vf[:, sl], preferred_element_type=jnp.float32)
+        )  # log2 units
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp2(scores - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        wv = (e * v_scale).astype(q.dtype)
+        out_h = jnp.dot(
+            wv, vf[:, sl], preferred_element_type=jnp.float32
+        ) / denom
         o_ref[:, sl] = out_h.astype(o_ref.dtype)
 
 
@@ -144,7 +172,7 @@ def _decode_kernel_q8(num_heads, q_ref, k_ref, v_ref, ks_ref, vs_ref, mask_ref, 
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads",))
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
 def cached_decode_attention_q8(
     q: Array,  # [B, Q, H]
     k: Array,  # [B, N, H] int8
@@ -153,11 +181,14 @@ def cached_decode_attention_q8(
     v_scale: Array,  # [B, N] fp32
     mask: Array,  # [Q, N] bool (shared across batch)
     num_heads: int,
+    interpret: bool = False,
 ) -> Array:
     """Fused masked multi-head attention over an int8-quantized cache."""
     B, Q, H = q.shape
     N = k.shape[1]
     mask_i8 = mask.astype(jnp.int8)
+    head_dim = H // num_heads
+    q = q * jnp.asarray(1.4426950408889634 / (head_dim ** 0.5), q.dtype)
     ks = k_scale[:, None, :]  # [B, 1, N] — trailing block dims must tile
     vs = v_scale[:, None, :]
 
@@ -175,6 +206,7 @@ def cached_decode_attention_q8(
         ],
         out_specs=pl.BlockSpec((1, Q, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Q, H), q.dtype),
+        interpret=interpret,
     )(q, k, v, ks, vs, mask_i8)
     return out
 

@@ -26,7 +26,7 @@ import numpy as np
 from ctrl_sim_tpu.config import Config
 from ctrl_sim_tpu.data.scenario import Scenario, stack_scenarios
 from ctrl_sim_tpu.data.transforms import get_tilt_logits
-from ctrl_sim_tpu.evals.metrics import compute_policy_metrics
+from ctrl_sim_tpu.evals.metrics import PolicyMetricsAccumulator
 from ctrl_sim_tpu.rollout.rollout import run_closed_loop
 from ctrl_sim_tpu.rollout.streaming import run_streaming
 
@@ -132,8 +132,11 @@ class PolicyEvaluator:
         if not selected:
             return {}
 
-        all_metrics: list[dict] = []
-        weights: list[int] = []
+        # running statistics pooled over every chunk: each JSD is computed
+        # once over the full per-vehicle stream population, matching the
+        # reference's update_running_statistics/compute_metrics split
+        # (policy_evaluator.py:251-303) — never a mean of per-chunk JSDs
+        acc = PolicyMetricsAccumulator(cfg)
         for i in range(0, len(selected), self.lane_batch):
             chunk = selected[i : i + self.lane_batch]
             batch = stack_scenarios([s for s, _ in chunk], cfg)
@@ -149,14 +152,6 @@ class PolicyEvaluator:
             sb = Scenario(**d)
             key, sub = jax.random.split(key)
             rollout = self._rollout(sb, self.params, jnp.asarray(controlled), sub)
-            m = compute_policy_metrics(cfg, jax.tree.map(np.asarray, rollout), batch)
-            all_metrics.append(m)
-            weights.append(len(chunk))
+            acc.update(jax.tree.map(np.asarray, rollout), batch)
 
-        # weighted merge over chunks
-        total = sum(weights)
-        merged = {
-            k: float(sum(m[k] * w for m, w in zip(all_metrics, weights)) / total)
-            for k in all_metrics[0]
-        }
-        return merged
+        return acc.compute()

@@ -26,7 +26,7 @@ import numpy as np
 from ctrl_sim_tpu.config import Config, TiltConfig
 from ctrl_sim_tpu.data.scenario import Scenario, stack_scenarios
 from ctrl_sim_tpu.data.transforms import get_tilt_logits
-from ctrl_sim_tpu.evals.metrics import _jsd
+from ctrl_sim_tpu.evals.metrics import gt_nearest_dist_stream, jsd_suite
 from ctrl_sim_tpu.rollout.rollout import RolloutOutput, run_closed_loop
 from ctrl_sim_tpu.rollout.streaming import run_streaming
 
@@ -186,6 +186,9 @@ class PlannerAdversaryEvaluator:
         gt_speed = batch.traj_speed[:, :, : steps + 1]
         gt_accel = np.zeros_like(gt_speed)
         gt_accel[:, :, 1:steps] = (gt_speed[:, :, 2:] - gt_speed[:, :, :-2]) / (2 * dt)
+        # true GT nearest-distance stream: GT positions, sim existence
+        # (evaluator.py:94-101 compute_nearest_dist_all gt_ag_data)
+        gt_nearest = gt_nearest_dist_stream(gt_pos, exist)
 
         future = np.zeros(steps + 1, dtype=bool)
         future[hist:] = True
@@ -236,8 +239,7 @@ class PlannerAdversaryEvaluator:
                 acc["acc_sim"].append(np.concatenate([accel[e, adv], [0.0]])[amask][am])
                 acc["acc_gt"].append(gt_accel[e, adv][amask][am])
                 acc["nd_sim"].append(nearest[e, adv][amask])
-                # gt nearest approximated by sim existence over gt positions
-                acc["nd_gt"].append(nearest[e, adv][amask] * 0 + nearest[e, adv][amask])
+                acc["nd_gt"].append(gt_nearest[e, adv][amask])
 
             # collision with adversary, distance-validated (:322-358)
             cr_w_adv = 0.0
@@ -262,16 +264,11 @@ class PlannerAdversaryEvaluator:
 
     # ------------------------------------------------------------------
     def _finalize(self, acc: dict) -> dict:
-        wc = self.cfg.waymo
-
         def mean(xs):
             return float(np.mean(xs)) if len(xs) else 0.0
 
         def catm(xs):
             return float(np.concatenate(xs).mean()) if xs else 0.0
-
-        def cat(xs):
-            return np.concatenate(xs) if xs else np.zeros(1)
 
         m = {
             "ego_goal": mean(acc["goal"]),
@@ -286,25 +283,16 @@ class PlannerAdversaryEvaluator:
             "ego_steer_rate": catm(acc["steer_rate"]),
             "adv_coll_speed": mean(acc["adv_coll_speed"]),
         }
-        edges = np.arange(201) * 0.5 * (100 / 30)
-        m["adv_lin_jsd"] = _jsd(
-            np.histogram(np.clip(cat(acc["lin_sim"]), 0, 30), bins=edges)[0].astype(float),
-            np.histogram(np.clip(cat(acc["lin_gt"]), 0, 30), bins=edges)[0].astype(float),
+        # pooled-stream JSDs; reference key names
+        # (planner_adversary_evaluator.py:394-427: adv_lin_jsd, adv_ang_jsd,
+        # adv_acc_jsd, nearest_dist_jsd)
+        js = jsd_suite(
+            self.cfg,
+            acc["lin_sim"], acc["lin_gt"], acc["ang_sim"], acc["ang_gt"],
+            acc["acc_sim"], acc["acc_gt"], acc["nd_sim"], acc["nd_gt"],
         )
-        edges = np.arange(201) * 0.5 - 50
-        m["adv_ang_jsd"] = _jsd(
-            np.histogram(np.clip(cat(acc["ang_sim"]), -50, 50), bins=edges)[0].astype(float),
-            np.histogram(np.clip(cat(acc["ang_gt"]), -50, 50), bins=edges)[0].astype(float),
-        )
-        ag = cat(acc["acc_gt"])
-        ag = (np.clip(ag, wc.min_accel, wc.max_accel) - wc.min_accel) / (
-            wc.max_accel - wc.min_accel
-        )
-        ag = np.round(ag * (wc.accel_discretization - 1)) / (wc.accel_discretization - 1)
-        ag = ag * (wc.max_accel - wc.min_accel) + wc.min_accel
-        edges = np.arange(wc.accel_discretization + 1) * 2 - wc.accel_discretization
-        m["adv_acc_jsd"] = _jsd(
-            np.histogram(cat(acc["acc_sim"]), bins=edges)[0].astype(float),
-            np.histogram(ag, bins=edges)[0].astype(float),
-        )
+        m["adv_lin_jsd"] = js["lin_speed_jsd"]
+        m["adv_ang_jsd"] = js["ang_speed_jsd"]
+        m["adv_acc_jsd"] = js["accel_jsd"]
+        m["nearest_dist_jsd"] = js["nearest_dist_jsd"]
         return m

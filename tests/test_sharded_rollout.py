@@ -72,7 +72,8 @@ def test_rollout_shards_over_env_axis():
     )
     out = rollout(sb_sharded, params_repl, controlled_sharded, jax.random.PRNGKey(1))
     out = jax.block_until_ready(out)
-    assert np.isfinite(np.asarray(out.position)).all() or True  # dead sentinel ok
+    alive = np.asarray(out.existence) > 0  # [T+1, E, A]
+    assert np.isfinite(np.asarray(out.position)[alive]).all()
     # per-step streams keep the env axis sharded
     assert out.position.shape[1] == 8
 

@@ -27,6 +27,7 @@ from ctrl_sim_tpu.config import Config
 from ctrl_sim_tpu.data.scenario import Scenario, stack_scenarios
 from ctrl_sim_tpu.data.transforms import get_tilt_logits
 from ctrl_sim_tpu.evals.metrics import PolicyMetricsAccumulator
+from ctrl_sim_tpu.rollout.groups import build_focal_groups, pad_groups
 from ctrl_sim_tpu.rollout.rollout import run_closed_loop
 from ctrl_sim_tpu.rollout.streaming import run_streaming
 
@@ -115,7 +116,9 @@ class PolicyEvaluator:
             else run_closed_loop
         )
         self._rollout = jax.jit(
-            lambda sb, p, c, r: run_fn(cfg, model, p, sb, c, r, self.tilt_logits)
+            lambda sb, p, c, r, g: run_fn(
+                cfg, model, p, sb, c, r, self.tilt_logits, groups=g
+            )
         )
 
     def evaluate(self, scenes: list[Scenario]) -> dict:
@@ -137,6 +140,10 @@ class PolicyEvaluator:
         # reference's update_running_statistics/compute_metrics split
         # (policy_evaluator.py:251-303) — never a mean of per-chunk JSDs
         acc = PolicyMetricsAccumulator(cfg)
+
+        # pre-build focal groups per chunk, then pad every chunk to the same
+        # group count so all chunks share one compiled rollout graph
+        chunks = []
         for i in range(0, len(selected), self.lane_batch):
             chunk = selected[i : i + self.lane_batch]
             batch = stack_scenarios([s for s, _ in chunk], cfg)
@@ -144,6 +151,19 @@ class PolicyEvaluator:
             controlled = np.zeros((len(chunk), A), dtype=bool)
             for e, (_, vehicles) in enumerate(chunk):
                 controlled[e, vehicles] = True
+            groups = build_focal_groups(
+                cfg,
+                np.asarray(batch.traj_position),
+                np.asarray(batch.traj_valid).astype(bool),
+                np.asarray(batch.agent_valid).astype(bool),
+                controlled,
+            )
+            chunks.append((batch, controlled, groups))
+        max_g = max(g.num_groups for _, _, g in chunks)
+
+        for batch, controlled, groups in chunks:
+            if groups.num_groups < max_g:
+                groups = pad_groups(groups, max_g)
             d = {
                 k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
                 for k, v in dataclasses.asdict(batch).items()
@@ -151,7 +171,13 @@ class PolicyEvaluator:
             d["name"] = ""  # static metadata: keep the jit cache warm
             sb = Scenario(**d)
             key, sub = jax.random.split(key)
-            rollout = self._rollout(sb, self.params, jnp.asarray(controlled), sub)
+            rollout = self._rollout(
+                sb,
+                self.params,
+                jnp.asarray(controlled),
+                sub,
+                jax.tree.map(jnp.asarray, groups),
+            )
             acc.update(jax.tree.map(np.asarray, rollout), batch)
 
         return acc.compute()

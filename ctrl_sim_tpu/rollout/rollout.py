@@ -3,8 +3,9 @@ eval loop (evaluators/policy_evaluator.py:514-542).
 
 Per env step, for every lane (scene) in parallel:
 
-  record state -> build 32-step sliding window -> relevant-agent crop ->
-  SE(2) normalize -> discretize -> model pass 1 (tilted RTG sampling) ->
+  record state -> build 32-step sliding window -> per focal group: gather
+  <=24-agent crop -> SE(2) normalize -> discretize -> model pass 1 over all
+  (scene, group) crops (tilted RTG sampling with cross-group dedup) ->
   model pass 2 (action sampling) -> controlled agents act, others log-replay
   through physics -> env.step -> collision/reward update
 
@@ -17,18 +18,24 @@ Semantics replicated from the reference:
 - control handover at ``history_steps - 1`` (policy_evaluator.py:534)
 - uncontrolled agents log-replay via inverse-bicycle actions through
   physics (evaluator.py:160-193), not teleport
-- sticky relevant-agent sets that shrink when agents leave the 60 m radius
-  and never re-add (autoregressive_policy.py:120-137); slots ordered by
-  original agent index (np.intersect1d sorts)
+- sticky relevant-agent sets per focal group that shrink when agents leave
+  the 60 m radius and never re-add (autoregressive_policy.py:120-137);
+  slots ordered by original agent index (np.intersect1d sorts)
+- scenes with more agents than one 24-agent crop split into focal groups
+  with one model call per group and cross-group RTG dedup — each agent's
+  RTG sampled once, in the lowest-rank group containing it, and shared
+  (autoregressive_policy.py:88-137,176-207); see rollout/groups.py
 - RTGs sampled for every relevant agent, tilt applied only to controlled
   ones (autoregressive_policy.py:195-207)
 - per-step reward computed on the pre-step state (policy_evaluator.py:515)
+- on focal death the group re-centers on its longest-lived alive evaluated
+  vehicle (the reference re-forms the group identically, see groups.py)
 
-Deviation (documented): the reference splits scenes with more controlled
-vehicles than fit in one 24-agent crop into several focal groups with
-separate model calls and cross-group RTG dedup. Here each lane is one
-24-agent group centered on the longest-trajectory controlled vehicle —
-identical behavior for scenes with <=24 agents (the padded lane size).
+Documented deviation: an evaluated vehicle that leaves the 60 m radius of
+its own (living) group's origin coasts (zero action through physics); the
+reference's bookkeeping raises a KeyError in that case
+(autoregressive_policy.py:255-259 indexing new_agent_idx_dict), so there is
+no behavior to match.
 """
 
 from __future__ import annotations
@@ -44,6 +51,12 @@ from ctrl_sim_tpu.data.pipeline import goals_from_scenario
 from ctrl_sim_tpu.data.scenario import Scenario
 from ctrl_sim_tpu.env.dynamics import inverse_bicycle_action
 from ctrl_sim_tpu.env.env import EnvState, WaymoEnv
+from ctrl_sim_tpu.rollout.groups import (
+    GroupSpec,
+    gather_members,
+    scatter_by_rank,
+    trivial_groups,
+)
 from ctrl_sim_tpu.rollout.policy import sample_actions, sample_tilted_rtgs
 
 Array = jax.Array
@@ -70,7 +83,7 @@ class _Carry(NamedTuple):
     states_buf: Array  # [E, A, S, 8]
     actions_buf: Array  # [E, A, S, 2]
     rtgs_buf: Array  # [E, A, S, 3]
-    relevant: Array  # [E, A] bool
+    relevant: Array  # [E, G, Am] bool — sticky per-group membership
     rng: Array
     rtg_rt: Array  # [E, A, 3] real-time decayed RTG (DT mode) or zeros
 
@@ -142,6 +155,31 @@ def select_focal_agents(scenario: Scenario, controlled_mask) -> Array:
     return jnp.argmax(keyed, axis=1)
 
 
+def default_groups(
+    cfg: Config, scenario: Scenario, controlled_mask: Array
+) -> GroupSpec:
+    """Traceable single-group spec for scenes already at the crop size."""
+    wc = cfg.waymo
+    tp = jnp.asarray(scenario.traj_position)
+    if tp.shape[1] != wc.max_num_agents:
+        raise ValueError(
+            f"scenes with more than max_num_agents={wc.max_num_agents} agent "
+            f"slots (got {tp.shape[1]}) need host-built focal groups: pass "
+            "groups=build_focal_groups(...)"
+        )
+    origin_idx = select_focal_agents(scenario, controlled_mask)
+    pos0 = tp[:, :, 0]
+    origin_pos0 = jnp.take_along_axis(pos0, origin_idx[:, None, None], axis=1)
+    dist0 = jnp.linalg.norm(pos0 - origin_pos0, axis=-1)
+    relevant0 = (
+        (dist0 < wc.agent_dist_threshold)
+        & jnp.asarray(scenario.agent_valid)
+        & jnp.asarray(scenario.traj_valid)[:, :, 0]
+    )
+    gt_length = jnp.sum(jnp.asarray(scenario.traj_valid), axis=2)
+    return trivial_groups(cfg, origin_idx, relevant0, controlled_mask, gt_length)
+
+
 def run_closed_loop(
     cfg: Config,
     model,
@@ -150,6 +188,7 @@ def run_closed_loop(
     controlled_mask: Array,  # [E, A]
     rng: Array,
     tilt_logits: Array | None = None,  # [num_bins, 3]
+    groups: GroupSpec | None = None,
 ) -> RolloutOutput:
     """Exact-mode rollout: the sliding window is re-normalized and the full
     token sequence re-decoded every step (reference-parity path)."""
@@ -158,22 +197,23 @@ def run_closed_loop(
     env = WaymoEnv(cfg)
     steps = cfg.sim.steps
     T_ctx = wc.train_context_length
-    A = wc.max_num_agents
+    Am = wc.max_num_agents
+
+    if groups is None:
+        groups = default_groups(cfg, scenario, controlled_mask)
+    groups = jax.tree.map(jnp.asarray, groups)
+    G = groups.num_groups
+    if groups.crop_size != Am:
+        raise ValueError("GroupSpec crop size must equal waymo.max_num_agents")
 
     tp = jnp.asarray(scenario.traj_position)
-    if tp.shape[1] != A:
-        raise ValueError(
-            f"rollout lanes must have exactly max_num_agents={A} agent slots "
-            f"(got {tp.shape[1]}); scenes with more agents need multi-group "
-            "lanes (pad/stack with sim.max_agents == waymo.max_num_agents)"
-        )
     th = jnp.asarray(scenario.traj_heading)
     ts = jnp.asarray(scenario.traj_speed)
     tv = jnp.asarray(scenario.traj_valid)
     length = jnp.asarray(scenario.length)
     width = jnp.asarray(scenario.width)
-    agent_valid = jnp.asarray(scenario.agent_valid)
-    E = tp.shape[0]
+    E, A = tp.shape[:2]  # A == sim agent axis, >= Am
+    EG = E * G
 
     goals5 = goals_from_scenario(scenario)  # [E, A, 5]
     types = jax.nn.one_hot(jnp.asarray(scenario.agent_type), wc.num_agent_types)
@@ -188,15 +228,7 @@ def run_closed_loop(
     else:
         agent_tilt = tilt_logits
 
-    origin_idx = select_focal_agents(scenario, controlled_mask)
-
     env_state0 = env.reset(scenario)
-
-    # initial relevant set: <=24 nearest within 60 m of the origin agent
-    pos0 = env_state0.bodies.position
-    origin_pos0 = jnp.take_along_axis(pos0, origin_idx[:, None, None], axis=1)
-    dist0 = jnp.linalg.norm(pos0 - origin_pos0, axis=-1)
-    relevant0 = (dist0 < wc.agent_dist_threshold) & agent_valid
 
     # real-time RTG initialization (DT policy: policy_evaluator.py:123-145):
     # max achievable return (10, 90, 90); min_return flips evaluated
@@ -212,44 +244,67 @@ def run_closed_loop(
         states_buf=jnp.zeros((E, A, steps + 1, 8)),
         actions_buf=jnp.zeros((E, A, steps + 1, 2)),
         rtgs_buf=jnp.zeros((E, A, steps + 1, 3)),
-        relevant=relevant0,
+        relevant=groups.member_valid,
         rng=rng,
         rtg_rt=rtg_rt0,
     )
 
+    # static per-group road broadcast [E, P, ...] -> [EG, P, ...]
+    def bcast_groups(x):
+        return jnp.broadcast_to(x[:, None], (E, G) + x.shape[1:]).reshape(
+            (EG,) + x.shape[1:]
+        )
+
+    roads_eg = bcast_groups(jnp.asarray(scenario.road_points))
+    road_types_eg = bcast_groups(jnp.asarray(scenario.road_types))
+    road_valid_eg = bcast_groups(jnp.asarray(scenario.road_valid))
+
     def model_inputs(carry: _Carry, t: Array):
-        """Build the normalized, discretized 32-step window batch."""
+        """Build the normalized, discretized 32-step window batch over all
+        (scene, group) crop lanes."""
         w0 = jnp.maximum(t - (T_ctx - 1), 0)
         win_states = jax.lax.dynamic_slice_in_dim(carry.states_buf, w0, T_ctx, axis=2)
         win_actions = jax.lax.dynamic_slice_in_dim(carry.actions_buf, w0, T_ctx, axis=2)
         win_rtgs = jax.lax.dynamic_slice_in_dim(carry.rtgs_buf, w0, T_ctx, axis=2)
         timesteps = w0 + jnp.arange(T_ctx)  # [T_ctx]
 
-        # sticky relevant set: drop agents farther than 60 m from the origin
-        # at the window anchor (normalize_timestep = 0 of the window)
-        anchor_pos = win_states[..., 0, :2]  # [E, A, 2]
-        origin_anchor = jnp.take_along_axis(
-            anchor_pos, origin_idx[:, None, None], axis=1
+        # ---- per-group origin (re-)election: longest-lived alive assigned
+        # vehicle (the focal while it lives, autoregressive_policy.py:88-105)
+        alive_slot = gather_members(carry.env_state.alive, groups.members)
+        len_slot = gather_members(groups.gt_length, groups.members)
+        okey = jnp.where(
+            groups.assigned & alive_slot & carry.relevant, len_slot, -1.0
         )
-        dist = jnp.linalg.norm(anchor_pos - origin_anchor, axis=-1)
+        origin_slot_m = jnp.argmax(okey, axis=2)  # [E, G] (members space)
+        group_alive = (jnp.max(okey, axis=2) >= 0) & groups.group_valid
+
+        # ---- sticky 60 m shrink from the origin at the window anchor ------
+        anchor_pos = win_states[..., 0, :2]  # [E, A, 2]
+        anchor_slot = gather_members(anchor_pos, groups.members)  # [E, G, Am, 2]
+        origin_anchor = jnp.take_along_axis(
+            anchor_slot, origin_slot_m[..., None, None], axis=2
+        )  # [E, G, 1, 2]
+        dist = jnp.linalg.norm(anchor_slot - origin_anchor, axis=-1)
         relevant = carry.relevant & (dist < wc.agent_dist_threshold)
 
-        # slot order: relevant agents sorted by original index (intersect1d)
-        slot_key = jnp.where(relevant, jnp.arange(A)[None, :], A + jnp.arange(A)[None, :])
-        order = jnp.argsort(slot_key, axis=1)  # [E, A]
-        slot_valid = jnp.take_along_axis(relevant, order, axis=1)
-        origin_slot = jnp.argmax(order == origin_idx[:, None], axis=1)
+        # ---- repack slots: remaining members keep original-index order ----
+        slot_ar = jnp.arange(Am)[None, None, :]
+        slot_key = jnp.where(relevant, slot_ar, Am + slot_ar)
+        order = jnp.argsort(slot_key, axis=2)  # [E, G, Am]
+        gidx = jnp.take_along_axis(groups.members, order, axis=2)  # [E, G, Am]
+        slot_valid = jnp.take_along_axis(relevant, order, axis=2)
+        origin_slot = jnp.argmax(order == origin_slot_m[..., None], axis=2)
 
-        def g(x, o=order):
-            idx = o.reshape(o.shape + (1,) * (x.ndim - 2))
-            return jnp.take_along_axis(x, idx, axis=1)
+        def g(x):
+            out = gather_members(x, gidx)
+            mask_shape = slot_valid.shape + (1,) * (out.ndim - 3)
+            return out * slot_valid.reshape(mask_shape).astype(out.dtype)
 
-        sv = slot_valid[..., None, None].astype(win_states.dtype)
-        s_states = g(win_states) * sv
-        s_actions = g(win_actions) * sv
-        s_rtgs = g(win_rtgs) * sv
-        s_goals = g(goals5) * slot_valid[..., None]
-        s_types = jnp.where(slot_valid[..., None], g(types), -1.0)
+        s_states = g(win_states)  # [E, G, Am, T_ctx, 8]
+        s_actions = g(win_actions)
+        s_rtgs = g(win_rtgs)
+        s_goals = g(goals5)
+        s_types = jnp.where(slot_valid[..., None], gather_members(types, gidx), -1.0)
 
         # moving mask from episode start (autoregressive_policy.py:52-53)
         start_pos = carry.states_buf[:, :, 0, :2]
@@ -257,35 +312,37 @@ def run_closed_loop(
             jnp.linalg.norm(start_pos - goals5[..., :2], axis=-1)
             > wc.moving_threshold
         )
-        s_moving = g(moving[..., None])[..., 0] & slot_valid
+        s_moving = gather_members(moving, gidx) & slot_valid
 
         # normalize rtgs then discretize (autoregressive_policy.py:73-78,141-142)
         n_rtgs = tf.normalize_rtgs(s_rtgs, wc)
         d_rtgs = tf.discretize_rtgs(n_rtgs, wc) if pc.discretize_rtgs else n_rtgs
         d_actions = tf.discretize_actions(s_actions, wc)
 
-        # normalize the scene per lane (origin agent at window anchor)
-        norm = jax.vmap(lambda st, rp, rt, rv, go, oi: tf.normalize_scene(st, rp, rt, rv, go, oi, wc))(
-            s_states,
-            jnp.asarray(scenario.road_points),
-            jnp.asarray(scenario.road_types),
-            jnp.asarray(scenario.road_valid),
-            s_goals,
-            origin_slot,
+        # normalize the scene per (scene, group) lane (origin at window anchor)
+        norm = jax.vmap(
+            lambda st, rp, rt, rv, go, oi: tf.normalize_scene(st, rp, rt, rv, go, oi, wc)
+        )(
+            s_states.reshape((EG, Am) + s_states.shape[3:]),
+            roads_eg,
+            road_types_eg,
+            road_valid_eg,
+            s_goals.reshape(EG, Am, -1),
+            origin_slot.reshape(EG),
         )
 
         batch = {
             "agent_states": norm.agent_states,
-            "agent_types": s_types,
+            "agent_types": s_types.reshape(EG, Am, -1),
             "goals": norm.goals,
-            "actions": d_actions,
-            "rtgs": d_rtgs,
-            "timesteps": jnp.broadcast_to(timesteps[None, :], (E, T_ctx)),
-            "moving_agent_mask": s_moving.astype(jnp.float32),
+            "actions": d_actions.reshape(EG, Am, T_ctx),
+            "rtgs": d_rtgs.reshape(EG, Am, T_ctx, 3),
+            "timesteps": jnp.broadcast_to(timesteps[None, :], (EG, T_ctx)),
+            "moving_agent_mask": s_moving.reshape(EG, Am).astype(jnp.float32),
             "road_points": norm.road_points,
             "road_types": norm.road_types,
         }
-        return batch, order, slot_valid, relevant
+        return batch, gidx, slot_valid, group_alive, relevant
 
     def step_fn(carry: _Carry, t: Array):
         env_state = carry.env_state
@@ -311,59 +368,57 @@ def run_closed_loop(
             rtg_rt = rtg_rt - dt_dense_reward3(cfg, scenario, env_state, reward8)
 
         token_index = jnp.minimum(t, T_ctx - 1)
-        batch, order, slot_valid, relevant = model_inputs(carry, t)
+        batch, gidx, slot_valid, group_alive, relevant = model_inputs(carry, t)
+        contrib = slot_valid & group_alive[..., None]
 
-        # ---- pass 1: RTG prediction + tilted sampling --------------------
+        # ---- pass 1: RTG prediction + cross-group dedup + tilted sampling --
         if pc.predict_rtgs:
             preds = model.apply(params, batch, deterministic=True)
             rtg_logits = preds.rtg_preds.reshape(
-                E, A, T_ctx, wc.rtg_discretization, 3
+                EG, Am, T_ctx, wc.rtg_discretization, 3
             )
             cur = jax.lax.dynamic_index_in_dim(
                 rtg_logits, token_index, axis=2, keepdims=False
-            )  # [E, A, 350, 3]
-            # per-agent tilts gathered into slot order
-            tilt = jnp.take_along_axis(
-                agent_tilt, order[..., None, None], axis=1
-            )
-            rtg_bins = sample_tilted_rtgs(k_rtg, cur, tilt)  # [E, A, 3]
-            # write sampled bins into the model input at the current token
+            ).reshape(E, G, Am, wc.rtg_discretization, 3)
+            # dedup: each agent's logits come from the lowest-rank group
+            # containing it (the first group to process it in the reference)
+            table_logits, covered = scatter_by_rank(cur, gidx, contrib, A)
+            # tilt is indexed by original agent id — no slot gather needed
+            rtg_bins = sample_tilted_rtgs(k_rtg, table_logits, agent_tilt)
+            rtg_cont = tf.undiscretize_rtgs(rtg_bins, wc) * covered[..., None]
+            # write the shared sampled bins into every group's input at the
+            # current token (autoregressive_policy.py:185-207)
+            bins_slot = gather_members(rtg_bins, gidx) * slot_valid[..., None]
             rtgs_in = batch["rtgs"]
             rtgs_in = jax.lax.dynamic_update_slice_in_dim(
                 rtgs_in,
-                rtg_bins[:, :, None, :].astype(rtgs_in.dtype),
+                bins_slot.reshape(EG, Am, 1, 3).astype(rtgs_in.dtype),
                 token_index,
                 axis=2,
             )
             batch = dict(batch, rtgs=rtgs_in)
-            rtg_cont_slots = tf.undiscretize_rtgs(rtg_bins, wc)  # [E, A, 3]
-            # scatter back from slots to original agent order
-            inv = jnp.argsort(order, axis=1)
-            rtg_cont = jnp.take_along_axis(
-                rtg_cont_slots, inv[..., None], axis=1
-            )
-            rtg_written = jnp.take_along_axis(slot_valid, inv, axis=1)
-            rtg_cont = rtg_cont * rtg_written[..., None]
         else:
+            covered = jnp.zeros((E, A), bool)
             rtg_cont = jnp.zeros((E, A, 3))
 
-        # ---- pass 2: action sampling -------------------------------------
+        # ---- pass 2: action sampling (from the agent's winning group) -----
         preds = model.apply(params, batch, deterministic=True)
         logits = jax.lax.dynamic_index_in_dim(
             preds.action_preds, token_index, axis=2, keepdims=False
-        )  # [E, A, num_actions]
+        ).reshape(E, G, Am, -1)
+        table_action_logits, act_covered = scatter_by_rank(
+            logits, gidx, contrib, A
+        )
         action_ids = sample_actions(
             k_act,
-            logits,
+            table_action_logits,
             pc.action_temperature,
             pc.nucleus_sampling,
             pc.nucleus_threshold,
         )
-        policy_actions_slots = tf.undiscretize_actions(action_ids, wc)  # [E, A, 2]
-        inv = jnp.argsort(order, axis=1)
-        policy_actions = jnp.take_along_axis(
-            policy_actions_slots, inv[..., None], axis=1
-        )
+        policy_actions = tf.undiscretize_actions(action_ids, wc)  # [E, A, 2]
+        # controlled agent outside every living group coasts (see module doc)
+        policy_actions = policy_actions * act_covered[..., None]
 
         # ---- choose applied action per agent -----------------------------
         gt_accel, gt_steer = inverse_bicycle_action(

@@ -5,8 +5,8 @@ The exact-mode rollout (rollout.py) re-normalizes and re-decodes the full
 ~50x more FLOPs than necessary. This path exploits the autoregressive
 structure:
 
-- the normalization frame is fixed per lane (origin agent pose at episode
-  start), so past token embeddings never change;
+- the normalization frame is fixed per (scene, group) lane (origin agent
+  pose at episode start), so past token embeddings never change;
 - the cross-attention memory (map polylines + initial states) is encoded
   once per episode;
 - each env step appends only 3*A new tokens (state -> rtg -> action) against
@@ -25,12 +25,19 @@ structure:
 Cost per step: O(2*A*window*A*K) attention + O(A) projections, vs
 O((T*A*K)^2) full re-decode.
 
+Multi-group scenes (> max_num_agents agents): the env holds the full scene;
+each focal group (rollout/groups.py) is its own model lane with a fixed
+member index map, its own frame, memory, and KV cache. RTGs are deduped
+across groups per step by rank-ordered scatter, sampled once per agent, and
+the shared bins streamed into every group's cache — mirroring
+autoregressive_policy.py:176-207.
+
 Semantics deviation vs the reference (documented): the frame is anchored at
 episode start rather than re-anchored at each window start, and agent slots
-are not re-sorted when agents leave the 60 m radius. Models intended for
-streaming eval should train with ``episode-start`` normalization (the
-training pipeline flag); the exact-mode path remains for reference-parity
-evaluation.
+are not re-sorted when agents leave the 60 m radius (they are masked
+instead). Models intended for streaming eval should train with
+``data.episode_start_normalization`` so train and eval see the same frames;
+the exact-mode path remains for reference-parity evaluation.
 """
 
 from __future__ import annotations
@@ -48,21 +55,26 @@ from ctrl_sim_tpu.env.dynamics import inverse_bicycle_action
 from ctrl_sim_tpu.env.env import EnvState, WaymoEnv
 from ctrl_sim_tpu.geometry import angle_sub, apply_se2
 from ctrl_sim_tpu.models.decoder import KVCache
+from ctrl_sim_tpu.rollout.groups import (
+    GroupSpec,
+    gather_members,
+    scatter_by_rank,
+)
 from ctrl_sim_tpu.rollout.policy import sample_actions, sample_tilted_rtgs
 from ctrl_sim_tpu.rollout.rollout import (
     RolloutOutput,
+    default_groups,
     dt_dense_reward3,
-    select_focal_agents,
 )
 
 Array = jax.Array
 
 
 class _Frame(NamedTuple):
-    """Per-lane fixed SE(2) normalization frame."""
+    """Per-model-lane fixed SE(2) normalization frame."""
 
-    translation: Array  # [E, 2]
-    rotation: Array  # [E]
+    translation: Array  # [EG, 2]
+    rotation: Array  # [EG]
 
 
 def _make_frame(origin_pos: Array, origin_yaw: Array) -> _Frame:
@@ -74,9 +86,9 @@ def _make_frame(origin_pos: Array, origin_yaw: Array) -> _Frame:
 
 def _normalize_states(
     frame: _Frame,
-    position: Array,  # [E, A, 2]
-    velocity: Array,  # [E, A, 2]
-    heading: Array,  # [E, A]
+    position: Array,  # [EG, Am, 2]
+    velocity: Array,  # [EG, Am, 2]
+    heading: Array,  # [EG, Am]
 ) -> tuple[Array, Array, Array]:
     """Apply the frame with the reference's exact conventions, including the
     negated-heading storage (angle_sub(h, -rot), dataset.py:403)."""
@@ -95,6 +107,7 @@ def run_streaming(
     controlled_mask: Array,  # [E, A]
     rng: Array,
     tilt_logits: Array | None = None,
+    groups: GroupSpec | None = None,
 ) -> RolloutOutput:
     wc = cfg.waymo
     mc = cfg.model
@@ -102,10 +115,17 @@ def run_streaming(
     env = WaymoEnv(cfg)
     steps = cfg.sim.steps
     window = wc.train_context_length
-    A = wc.max_num_agents
+    Am = wc.max_num_agents
     K = mc.num_token_types
     H = mc.hidden_dim
     dtype = jnp.dtype(mc.compute_dtype)
+
+    if groups is None:
+        groups = default_groups(cfg, scenario, controlled_mask)
+    groups = jax.tree.map(jnp.asarray, groups)
+    G = groups.num_groups
+    if groups.crop_size != Am:
+        raise ValueError("GroupSpec crop size must equal waymo.max_num_agents")
 
     tp = jnp.asarray(scenario.traj_position)
     th = jnp.asarray(scenario.traj_heading)
@@ -113,10 +133,8 @@ def run_streaming(
     tv = jnp.asarray(scenario.traj_valid)
     length = jnp.asarray(scenario.length)
     width = jnp.asarray(scenario.width)
-    agent_valid = jnp.asarray(scenario.agent_valid)
-    E = tp.shape[0]
-    if tp.shape[1] != A:
-        raise ValueError("lanes must have exactly max_num_agents slots")
+    E, A = tp.shape[:2]
+    EG = E * G
 
     goals5 = goals_from_scenario(scenario)
     types = jax.nn.one_hot(jnp.asarray(scenario.agent_type), wc.num_agent_types)
@@ -129,65 +147,83 @@ def run_streaming(
     else:
         agent_tilt = tilt_logits
 
-    origin_idx = select_focal_agents(scenario, controlled_mask)
     env_state0 = env.reset(scenario)
 
-    # ---- fixed frame from the origin agent's initial pose ----------------
-    opos = jnp.take_along_axis(
-        env_state0.bodies.position, origin_idx[:, None, None], axis=1
-    )[:, 0]
-    oyaw = jnp.take_along_axis(env_state0.bodies.heading, origin_idx[:, None], axis=1)[
+    def eg(x):
+        """[E, G, Am, ...] -> [EG, Am, ...]"""
+        return x.reshape((EG,) + x.shape[2:])
+
+    # ---- fixed per-group frame from the t=0 origin's pose -----------------
+    alive0_slot = gather_members(env_state0.alive, groups.members)
+    len_slot = gather_members(groups.gt_length, groups.members)
+    okey0 = jnp.where(
+        groups.assigned & alive0_slot & groups.member_valid, len_slot, -1.0
+    )
+    origin_slot = jnp.argmax(okey0, axis=2)  # [E, G] — fixed for the episode
+    pos_slot0 = gather_members(env_state0.bodies.position, groups.members)
+    yaw_slot0 = gather_members(env_state0.bodies.heading, groups.members)
+    opos = eg(jnp.take_along_axis(pos_slot0, origin_slot[..., None, None], axis=2))[
         :, 0
     ]
+    oyaw = eg(jnp.take_along_axis(yaw_slot0, origin_slot[..., None], axis=2))[:, 0]
     frame = _make_frame(opos, oyaw)
 
+    # per-group static gathers
+    goals_slot = eg(gather_members(goals5, groups.members))  # [EG, Am, 5]
+    types_slot = eg(gather_members(types, groups.members))
+    length_slot = eg(gather_members(length, groups.members))
+    width_slot = eg(gather_members(width, groups.members))
+    tilt_slot = eg(gather_members(agent_tilt, groups.members))
+
     # ---- normalize static inputs once ------------------------------------
-    n_goal_pos = jax.vmap(lambda t, r, p: apply_se2(p, t, r))(
-        frame.translation, frame.rotation, goals5[..., :2]
+    n_goal_pos = jax.vmap(lambda t_, r, p: apply_se2(p, t_, r))(
+        frame.translation, frame.rotation, goals_slot[..., :2]
     )
     n_goal_vel = jax.vmap(lambda r, p: apply_se2(p, jnp.zeros(2), r))(
-        frame.rotation, goals5[..., 2:4]
+        frame.rotation, goals_slot[..., 2:4]
     )
-    n_goal_hd = angle_sub(goals5[..., 4], -frame.rotation[:, None])
+    n_goal_hd = angle_sub(goals_slot[..., 4], -frame.rotation[:, None])
     n_goals = jnp.concatenate(
         [n_goal_pos, n_goal_vel, n_goal_hd[..., None]], axis=-1
     )
 
-    road_points = jnp.asarray(scenario.road_points)
-    rp_xy = jax.vmap(lambda t, r, p: apply_se2(p, t, r))(
+    def bcast_groups(x):
+        return jnp.broadcast_to(x[:, None], (E, G) + x.shape[1:]).reshape(
+            (EG,) + x.shape[1:]
+        )
+
+    road_points = bcast_groups(jnp.asarray(scenario.road_points))
+    rp_xy = jax.vmap(lambda t_, r, p: apply_se2(p, t_, r))(
         frame.translation, frame.rotation, road_points[..., :2]
     )
     n_roads = jnp.concatenate([rp_xy, road_points[..., 2:]], axis=-1)
     n_roads = n_roads * (road_points[..., -1:] > 0)  # keep pad zeros exact
 
-    # relevant set at t=0
-    dist0 = jnp.linalg.norm(
-        env_state0.bodies.position - opos[:, None, :], axis=-1
-    )
-    relevant0 = (dist0 < wc.agent_dist_threshold) & agent_valid
+    # relevant set at t=0 = sticky group membership
+    relevant0 = groups.member_valid
 
     # ---- memory (map + initial states) encoded once ----------------------
-    p0, v0, h0 = _normalize_states(
+    pos0, vel0, hd0 = _normalize_states(
         frame,
-        env_state0.bodies.position,
-        env_state0.bodies.velocity,
-        env_state0.bodies.heading,
+        eg(pos_slot0),
+        eg(gather_members(env_state0.bodies.velocity, groups.members)),
+        eg(yaw_slot0),
     )
-    init_exist = (env_state0.alive & relevant0).astype(jnp.float32)
+    init_exist = (eg(alive0_slot & relevant0)).astype(jnp.float32)
     init_states12 = jnp.concatenate(
         [
-            p0,
-            v0,
-            h0[..., None],
-            length[..., None],
-            width[..., None],
-            types,
+            pos0,
+            vel0,
+            hd0[..., None],
+            length_slot[..., None],
+            width_slot[..., None],
+            types_slot,
         ],
         axis=-1,
     )
     memory, memory_valid = model.apply(
         params,
-        jnp.asarray(scenario.road_types),
+        bcast_groups(jnp.asarray(scenario.road_types)),
         method=lambda m, rt: m.encode_rollout_memory(
             n_roads, rt, init_states12, n_goals, init_exist, jnp.asarray(0, jnp.int32)
         ),
@@ -201,13 +237,14 @@ def run_streaming(
         jnp.int8 if mc.kv_cache_dtype == "int8" else dtype
     )
     cache0 = KVCache.create(
-        mc.num_decoder_layers, E, window, A, K, H, cache_dtype
+        mc.num_decoder_layers, EG, window, Am, K, H, cache_dtype
     )
 
-    moving = (
+    moving_ag = (
         jnp.linalg.norm(env_state0.bodies.position - goals5[..., :2], axis=-1)
         > wc.moving_threshold
     )
+    del moving_ag  # moving mask only affects training losses, not rollout
 
     # real-time RTG initialization (DT policy: policy_evaluator.py:123-145)
     rtg_rt0 = jnp.broadcast_to(jnp.asarray([10.0, 90.0, 90.0]), (E, A, 3))
@@ -219,10 +256,10 @@ def run_streaming(
     class Carry(NamedTuple):
         env_state: EnvState
         cache: KVCache
-        relevant: Array
+        relevant: Array  # [E, G, Am]
         rng: Array
-        prev_action_ids: Array  # [E, A] — actions applied at t-1
-        prev_exist: Array  # [E, A] — model existence at t-1
+        prev_action_ids: Array  # [EG, Am] — actions applied at t-1 (slot space)
+        prev_exist: Array  # [EG, Am] — model existence at t-1
         rtg_rt: Array  # [E, A, 3] — DT real-time decayed RTG (zeros otherwise)
 
     def step_fn(carry: Carry, t: Array):
@@ -231,22 +268,31 @@ def run_streaming(
 
         reward8, env_state = env.reward(scenario, env_state)
 
-        # relevant set shrinks with distance to the origin agent's current pos
+        # relevant set shrinks with distance to the (fixed) origin's current
+        # position; slots are masked, never re-sorted (streaming deviation)
+        pos_slot = gather_members(env_state.bodies.position, groups.members)
         cur_opos = jnp.take_along_axis(
-            env_state.bodies.position, origin_idx[:, None, None], axis=1
+            pos_slot, origin_slot[..., None, None], axis=2
         )
-        dist = jnp.linalg.norm(env_state.bodies.position - cur_opos, axis=-1)
+        dist = jnp.linalg.norm(pos_slot - cur_opos, axis=-1)
         relevant = carry.relevant & (dist < wc.agent_dist_threshold)
-        model_exist = (env_state.alive & relevant).astype(jnp.float32)
+        alive_slot = gather_members(env_state.alive, groups.members)
+        group_alive = (
+            jnp.any(groups.assigned & alive_slot & relevant, axis=2)
+            & groups.group_valid
+        )
+        model_exist_g = alive_slot & relevant  # [E, G, Am]
+        model_exist = eg(model_exist_g).astype(jnp.float32)  # [EG, Am]
 
         p, v, hd = _normalize_states(
             frame,
-            env_state.bodies.position,
-            env_state.bodies.velocity,
-            env_state.bodies.heading,
+            eg(pos_slot),
+            eg(gather_members(env_state.bodies.velocity, groups.members)),
+            eg(gather_members(env_state.bodies.heading, groups.members)),
         )
         states12 = jnp.concatenate(
-            [p, v, hd[..., None], length[..., None], width[..., None], types],
+            [p, v, hd[..., None], length_slot[..., None], width_slot[..., None],
+             types_slot],
             axis=-1,
         )
 
@@ -254,18 +300,19 @@ def run_streaming(
         # Every family defers the previous step's action tokens into the
         # current step's first pass (their head outputs are unused in
         # rollout, only their K/V matter — see stream_action_state).
-        a_ids = jnp.broadcast_to(jnp.arange(A)[None, :], (E, A)).astype(jnp.int32)
+        a_ids = jnp.broadcast_to(jnp.arange(Am)[None, :], (EG, Am)).astype(jnp.int32)
         tprev_ids = jnp.full_like(a_ids, jnp.maximum(t - 1, 0))
         tcur_ids = jnp.full_like(a_ids, t)
         rtg_rt = carry.rtg_rt
         rtg_cont = jnp.zeros((E, A, 3))
+        covered = jnp.zeros((E, A), bool)
 
         if mc.trajeglish:
             # action-only layout (K=1): ONE pass per step — rewrite of the
             # applied t-1 action + a zero-action probe at t whose output row
             # predicts this step's action (matching exact mode, where the
             # window's slot t holds a discretized zero action at predict time)
-            probe_ids = tf.discretize_actions(jnp.zeros((E, A, 2)), wc).astype(
+            probe_ids = tf.discretize_actions(jnp.zeros((EG, Am, 2)), wc).astype(
                 jnp.int32
             )
 
@@ -279,13 +326,13 @@ def run_streaming(
                 )
                 emb = m.encoder.embed_ln(jnp.concatenate([e_prev, e_probe], axis=1))
                 return m.decoder.decode_step_groups(
-                    [(emb[:, :A], 0, t - 1), (emb[:, A:], 0, t)],
+                    [(emb[:, :Am], 0, t - 1), (emb[:, Am:], 0, t)],
                     carry.cache, memory, memory_valid, window,
                     memory_kv=memory_kv,
                 )
 
             x, cache = model.apply(params, method=fused)
-            x_for_action = x[:, A:]
+            x_for_action = x[:, Am:]
         elif mc.il:
             # (state, action) layout (K=2): ONE pass per step; the action
             # head reads the state-token stream
@@ -299,20 +346,21 @@ def run_streaming(
                 )
                 emb = m.encoder.embed_ln(jnp.concatenate([e_prev, e_state], axis=1))
                 return m.decoder.decode_step_groups(
-                    [(emb[:, :A], 1, t - 1), (emb[:, A:], 0, t)],
+                    [(emb[:, :Am], 1, t - 1), (emb[:, Am:], 0, t)],
                     carry.cache, memory, memory_valid, window,
                     memory_kv=memory_kv,
                 )
 
             x, cache = model.apply(params, method=fused)
-            x_for_action = x[:, A:]
+            x_for_action = x[:, Am:]
         elif mc.decision_transformer:
             # (rtg, state, action) layout: RTGs come from real-time decay,
             # not the model, so the whole step is ONE pass; note the mask's
             # stage-2 rule makes the rtg token see the same step's state
             # token (later in flat order), so the groups MUST be decoded
             # together — exactly what decode_step_groups does
-            n_rtg3 = tf.normalize_rtgs(rtg_rt, wc) * model_exist[..., None]
+            rtg_rt_slot = eg(gather_members(rtg_rt, groups.members))
+            n_rtg3 = tf.normalize_rtgs(rtg_rt_slot, wc) * model_exist[..., None]
 
             def fused(m):
                 e_prev = m.encoder.embed_action_tokens(
@@ -330,16 +378,16 @@ def run_streaming(
                 )
                 return m.decoder.decode_step_groups(
                     [
-                        (emb[:, :A], 2, t - 1),
-                        (emb[:, A : 2 * A], 0, t),
-                        (emb[:, 2 * A :], 1, t),
+                        (emb[:, :Am], 2, t - 1),
+                        (emb[:, Am : 2 * Am], 0, t),
+                        (emb[:, 2 * Am :], 1, t),
                     ],
                     carry.cache, memory, memory_valid, window,
                     memory_kv=memory_kv,
                 )
 
             x, cache = model.apply(params, method=fused)
-            x_for_action = x[:, 2 * A :]
+            x_for_action = x[:, 2 * Am :]
             # decay AFTER this step's tokens were embedded: the next step's
             # rtg token carries the decayed value (policy_evaluator.py:146-149)
             rtg_rt = rtg_rt - dt_dense_reward3(cfg, scenario, env_state, reward8)
@@ -358,11 +406,20 @@ def run_streaming(
             if pc.predict_rtgs:
                 rtg_logits = model.apply(
                     params, x_state, method=lambda m, x: m.rtg_head(x)
-                ).reshape(E, A, wc.rtg_discretization, 3)
-                rtg_bins = sample_tilted_rtgs(k_rtg, rtg_logits, agent_tilt)
-                rtg_cont = tf.undiscretize_rtgs(rtg_bins, wc) * model_exist[..., None]
+                ).reshape(E, G, Am, wc.rtg_discretization, 3)
+                # cross-group dedup: lowest-rank group's logits win, one
+                # sample per agent, shared bins streamed into every cache
+                contrib = model_exist_g & group_alive[..., None]
+                table_logits, covered = scatter_by_rank(
+                    rtg_logits, groups.members, contrib, A
+                )
+                rtg_bins_ag = sample_tilted_rtgs(k_rtg, table_logits, agent_tilt)
+                rtg_cont = tf.undiscretize_rtgs(rtg_bins_ag, wc) * covered[..., None]
+                rtg_bins = eg(
+                    gather_members(rtg_bins_ag, groups.members)
+                ) * model_exist[..., None].astype(jnp.int32)
             else:
-                rtg_bins = jnp.zeros((E, A, 3), jnp.int32)
+                rtg_bins = jnp.zeros((EG, Am, 3), jnp.int32)
 
             x_for_action, cache = model.apply(
                 params,
@@ -374,12 +431,17 @@ def run_streaming(
 
         logits = model.apply(
             params, x_for_action, method=lambda m, x: m.action_head(x)
+        ).reshape((E, G, Am, -1))
+        contrib = model_exist_g & group_alive[..., None] & groups.group_valid[..., None]
+        table_action_logits, act_covered = scatter_by_rank(
+            logits, groups.members, contrib, A
         )
         action_ids = sample_actions(
-            k_act, logits, pc.action_temperature, pc.nucleus_sampling,
-            pc.nucleus_threshold,
+            k_act, table_action_logits, pc.action_temperature,
+            pc.nucleus_sampling, pc.nucleus_threshold,
         )
-        policy_actions = tf.undiscretize_actions(action_ids, wc)
+        policy_actions = tf.undiscretize_actions(action_ids, wc)  # [E, A, 2]
+        policy_actions = policy_actions * act_covered[..., None]
 
         # ---- applied actions (policy after history; GT replay otherwise) --
         gt_accel, gt_steer = inverse_bicycle_action(
@@ -396,11 +458,12 @@ def run_streaming(
         accel = jnp.where(use_policy, policy_actions[..., 0], gt_accel)
         steer = jnp.where(use_policy, policy_actions[..., 1], gt_steer)
 
-        # ---- applied action ids: written into the cache at the START of the
-        # next step, fused with its state pass (stream_action_state) --------
-        applied_ids = tf.discretize_actions(
+        # ---- applied action ids: written into each group's cache at the
+        # START of the next step, fused with its state pass ------------------
+        applied_ids_ag = tf.discretize_actions(
             jnp.stack([accel, steer], axis=-1), wc
         ).astype(jnp.int32)
+        applied_ids = eg(gather_members(applied_ids_ag, groups.members))
 
         alive_next = env_state.alive & tv[:, :, t + 1]
         alive_next = alive_next & (use_policy | replay_valid)
@@ -437,8 +500,8 @@ def run_streaming(
         cache0,
         relevant0,
         rng,
-        jnp.zeros((E, A), jnp.int32),
-        jnp.zeros((E, A), jnp.float32),
+        jnp.zeros((EG, Am), jnp.int32),
+        jnp.zeros((EG, Am), jnp.float32),
         rtg_rt0,
     )
     final_carry, ys = jax.lax.scan(step_fn, carry0, jnp.arange(steps))

@@ -49,6 +49,9 @@ class _ScenarioRaw(ctypes.Structure):
         ("road_offsets", ctypes.POINTER(ctypes.c_int32)),
         ("road_counts", ctypes.POINTER(ctypes.c_int32)),
         ("road_types", ctypes.POINTER(ctypes.c_int32)),
+        ("num_lights", ctypes.c_int32),
+        ("tl_positions", ctypes.POINTER(ctypes.c_float)),
+        ("tl_state", ctypes.POINTER(ctypes.c_int8)),
         ("error", ctypes.c_char * 256),
     ]
 
@@ -127,6 +130,23 @@ def load_scenario_json_native(path: str, cfg: Config) -> Scenario:
                     ]
                 roads.append({"geometry": geometry, "type": name})
 
+        # traffic lights: the C side expands to dense [L, T] states; feed
+        # them back through _finalize as dense (state, time_index) streams
+        tl_states = None
+        if raw.num_lights > 0:
+            L = raw.num_lights
+            tl_pos = _arr(raw.tl_positions, (L, 2))
+            tl_st = _arr(raw.tl_state, (L, T), dtype=np.int8)
+            tl_states = [
+                {
+                    "x": [float(tl_pos[i, 0])],
+                    "y": [float(tl_pos[i, 1])],
+                    "state": [int(s) for s in tl_st[i]],
+                    "time_index": list(range(T)),
+                }
+                for i in range(L)
+            ]
+
         speed = np.linalg.norm(velocities, axis=-1)
         if not raw.is_physics:
             # raw dialect: drop non-vehicles / invalid-at-start agents the
@@ -157,6 +177,7 @@ def load_scenario_json_native(path: str, cfg: Config) -> Scenario:
             rewards=None if rewards is None else rewards.astype(np.float64),
             actions=None if actions is None else actions.astype(np.float64),
             name=path,
+            tl_states=tl_states,
         )
     finally:
         lib.scenario_free(raw_p)

@@ -86,6 +86,11 @@ class Scenario:
     # optional recorded streams (physics JSON only)
     rewards: np.ndarray | None = None  # [A, T, 8]
     actions: np.ndarray | None = None  # [A, T, 2] (accel, steer)
+    # traffic lights (scenario.cc:222-241; None when the JSON has no
+    # ``tl_states`` — the CtRL-Sim datasets are the no-TL Waymo exports)
+    tl_position: np.ndarray | None = None  # [L, 2]
+    tl_state: np.ndarray | None = None  # [L, T1] int8 (traffic_light.h:20-30)
+    tl_valid: np.ndarray | None = None  # [L] bool
     name: str = ""
 
     @property
@@ -231,6 +236,7 @@ def _finalize(
     rewards: np.ndarray | None,
     actions: np.ndarray | None,
     name: str,
+    tl_states: Sequence[dict] | None = None,
 ) -> Scenario:
     goal_position, goal_heading, goal_speed = _goal_override(
         traj_position, traj_heading, traj_speed, traj_valid,
@@ -253,6 +259,15 @@ def _finalize(
 
     road_points, road_types, edge_polylines = _chunk_roads(roads, cfg)
     polylines, poly_valid, seg_p0, seg_p1, seg_valid = _pack_edges(edge_polylines, cfg)
+
+    # traffic lights (scenario.cc:222-241): dense per-step state streams
+    tl_position = tl_state = tl_valid = None
+    if tl_states:
+        from ctrl_sim_tpu.env.traffic_lights import parse_tl_states_np
+
+        tl_position, tl_state, tl_valid = parse_tl_states_np(
+            tl_states, traj_position.shape[1]
+        )
 
     A = traj_position.shape[0]
     return Scenario(
@@ -279,6 +294,9 @@ def _finalize(
         edge_seg_valid=seg_valid,
         rewards=None if rewards is None else rewards.astype(np.float32),
         actions=None if actions is None else actions.astype(np.float32),
+        tl_position=tl_position,
+        tl_state=tl_state,
+        tl_valid=tl_valid,
         name=name,
     )
 
@@ -350,6 +368,7 @@ def _load_raw_json(data: dict, cfg: Config, name: str) -> Scenario:
         cfg, traj_position, traj_heading, traj_speed, traj_valid, length, width,
         agent_type, goal_position, goal_heading, goal_speed, data["roads"],
         rewards=None, actions=None, name=name,
+        tl_states=data.get("tl_states"),
     )
 
 
@@ -404,10 +423,14 @@ def pad_scenarios(scenarios: list[Scenario], cfg: Config) -> list[Scenario]:
     K = max(s.edge_polylines.shape[0] for s in scenarios)
     V = max(s.edge_polylines.shape[1] for s in scenarios)
     T1 = max(s.traj_position.shape[1] for s in scenarios)
+    tl_L = max(
+        (s.tl_position.shape[0] for s in scenarios if s.tl_position is not None),
+        default=0,
+    )
 
     out = []
     for s in scenarios:
-        out.append(_pad_one(s, A, P, K, V, T1))
+        out.append(_pad_one(s, A, P, K, V, T1, tl_L))
     return out
 
 
@@ -416,9 +439,24 @@ def _pad_to(arr: np.ndarray, shape: tuple[int, ...], fill: float = 0.0) -> np.nd
     return np.pad(arr, pads, constant_values=fill)
 
 
-def _pad_one(s: Scenario, A: int, P: int, K: int, V: int, T1: int) -> Scenario:
+def _pad_one(
+    s: Scenario, A: int, P: int, K: int, V: int, T1: int, tl_L: int = 0
+) -> Scenario:
     a0 = s.traj_position.shape[0]
     road_types = _pad_to(s.road_types, (P, 8), fill=-1.0)
+    # traffic lights: scenes without lights get all-invalid pad rows when the
+    # batch contains any lights (so TL fields stack to one shape)
+    if tl_L > 0:
+        tl_pos = s.tl_position if s.tl_position is not None else np.zeros((0, 2), np.float32)
+        tl_st = s.tl_state if s.tl_state is not None else np.zeros((0, T1), np.int8)
+        tl_va = s.tl_valid if s.tl_valid is not None else np.zeros((0,), bool)
+        tl_fields = dict(
+            tl_position=_pad_to(tl_pos, (tl_L, 2)).astype(np.float32),
+            tl_state=_pad_to(tl_st, (tl_L, T1)).astype(np.int8),
+            tl_valid=_pad_to(tl_va, (tl_L,)).astype(bool),
+        )
+    else:
+        tl_fields = dict(tl_position=None, tl_state=None, tl_valid=None)
     return dataclasses.replace(
         s,
         traj_position=_pad_to(s.traj_position, (A, T1, 2), DEAD_POSITION),
@@ -441,6 +479,7 @@ def _pad_one(s: Scenario, A: int, P: int, K: int, V: int, T1: int) -> Scenario:
         edge_poly_valid=_pad_to(s.edge_poly_valid, (K, V)).astype(bool),
         rewards=None if s.rewards is None else _pad_to(s.rewards, (A,) + s.rewards.shape[1:]),
         actions=None if s.actions is None else _pad_to(s.actions, (A,) + s.actions.shape[1:]),
+        **tl_fields,
     )
 
 

@@ -103,6 +103,89 @@ class WaymoEnv:
         )
 
     # ------------------------------------------------------------------
+    def observe(
+        self,
+        scenario: Scenario,
+        state: EnvState,
+        ego_index: Array,  # [E] int — ego agent per scene
+        max_visible_objects: int = 16,
+        max_visible_lights: int = 20,
+        view_dist: float = 80.0,
+        view_angle: float = jnp.pi * (120.0 / 180.0),
+    ) -> dict:
+        """Ego-centric partially-observable observation — the Nocturne
+        visible-state API (scenario.cc:391-548 EgoState/FlattenedVisibleState
+        + view_field.cc cone/occlusion filtering + scenario.cc:184-205
+        traffic-light features), batched over scenes.
+
+        Returns a dict of fixed-shape arrays:
+          ego_state        [E, 5]
+          visible_mask     [E, A] bool (cone + occlusion)
+          visible_objects  [E, max_visible_objects, 8] nearest-first
+          traffic_lights   [E, max_visible_lights, 12] ([valid, dist,
+                           azimuth, 9-state one-hot]); all-zero when the
+                           scenario has no lights
+        """
+        from ctrl_sim_tpu.env.observation import (
+            ego_state as _ego_state,
+            flattened_visible_state,
+            visible_objects_mask,
+        )
+        from ctrl_sim_tpu.env.traffic_lights import (
+            TrafficLights,
+            visible_light_features,
+        )
+
+        b = state.bodies
+        length = jnp.asarray(scenario.length)
+        width = jnp.asarray(scenario.width)
+        goal = jnp.asarray(scenario.goal_position)
+
+        def one(pos, hd, spd, ln, wd, alive, ego, gp):
+            vis = visible_objects_mask(
+                pos, hd, ln, wd, alive, ego,
+                view_dist=view_dist, view_angle=view_angle,
+            )
+            es = _ego_state(pos[ego], hd[ego], spd[ego], ln[ego], wd[ego], gp[ego])
+            fv = flattened_visible_state(
+                pos, hd, spd, ln, wd, vis, ego,
+                max_visible_objects=max_visible_objects,
+            )
+            return vis, es, fv
+
+        vis, es, fv = jax.vmap(one)(
+            b.position, b.heading, b.speed, length, width,
+            state.alive, ego_index, goal,
+        )
+
+        if scenario.tl_state is not None:
+            lights = TrafficLights(
+                position=jnp.asarray(scenario.tl_position),
+                state=jnp.asarray(scenario.tl_state),
+                valid=jnp.asarray(scenario.tl_valid),
+            )
+            ego_pos = jnp.take_along_axis(
+                b.position, ego_index[:, None, None], axis=1
+            )[:, 0]
+            ego_hd = jnp.take_along_axis(b.heading, ego_index[:, None], axis=1)[:, 0]
+            tl = jax.vmap(
+                lambda lp, ls, lv, p, h: visible_light_features(
+                    TrafficLights(lp, ls, lv), state.t, p, h,
+                    max_visible=max_visible_lights,
+                )
+            )(lights.position, lights.state, lights.valid, ego_pos, ego_hd)
+        else:
+            E = b.position.shape[0]
+            tl = jnp.zeros((E, max_visible_lights, 12))
+
+        return {
+            "ego_state": es,
+            "visible_mask": vis,
+            "visible_objects": fv,
+            "traffic_lights": tl,
+        }
+
+    # ------------------------------------------------------------------
     def reward(self, scenario: Scenario, state: EnvState) -> tuple[Array, EnvState]:
         """Compute the 8-component reward at the current state and update the
         sticky goal bit (called before stepping, like

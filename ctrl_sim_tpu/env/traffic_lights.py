@@ -56,11 +56,13 @@ class TrafficLights(NamedTuple):
         )
 
 
-def parse_tl_states(
+def parse_tl_states_np(
     tl_json: list, num_steps: int, max_lights: int | None = None
-) -> TrafficLights:
-    """Parse the JSON ``tl_states`` list (scenario.cc:222-241): each entry
-    has x[·], y[·] (static), state[·] and time_index[·] streams."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Numpy core of the ``tl_states`` parse (scenario.cc:222-241): each
+    entry has x[·], y[·] (static — the first element is used), state[·] and
+    time_index[·] streams. Returns (position [L,2] f32, state [L,T] int8,
+    valid [L] bool)."""
     n = len(tl_json)
     L = max_lights or max(n, 1)
     position = np.zeros((L, 2), np.float32)
@@ -76,6 +78,14 @@ def parse_tl_states(
                     state[i, ti] = _STATE_NAMES.get(s.lower(), TL_UNKNOWN)
                 else:
                     state[i, ti] = int(s)
+    return position, state, valid
+
+
+def parse_tl_states(
+    tl_json: list, num_steps: int, max_lights: int | None = None
+) -> TrafficLights:
+    """Parse the JSON ``tl_states`` list into device-ready TrafficLights."""
+    position, state, valid = parse_tl_states_np(tl_json, num_steps, max_lights)
     return TrafficLights(
         position=jnp.asarray(position),
         state=jnp.asarray(state),

@@ -199,6 +199,19 @@ int road_type_id(const std::string& t) {
   return 7;
 }
 
+// TrafficLightState enum mapping (traffic_light.h:75-95 ParseTrafficLightState)
+int tl_state_id(const std::string& t) {
+  if (t == "stop") return 1;
+  if (t == "caution") return 2;
+  if (t == "go") return 3;
+  if (t == "arrow_stop") return 4;
+  if (t == "arrow_caution") return 5;
+  if (t == "arrow_go") return 6;
+  if (t == "flashing_stop") return 7;
+  if (t == "flashing_caution") return 8;
+  return 0;  // unknown
+}
+
 }  // namespace
 
 // ----------------------------------------------------------------------
@@ -232,6 +245,11 @@ struct ScenarioRaw {
   int32_t* road_offsets;  // [num_roads]
   int32_t* road_counts;   // [num_roads]
   int32_t* road_types;    // [num_roads]
+  // traffic lights (scenario.cc:222-241): dense per-step state streams,
+  // 0 = unknown where no (state, time_index) entry exists
+  int32_t num_lights;
+  float* tl_positions;  // [num_lights, 2]
+  int8_t* tl_state;     // [num_lights, T]
   char error[256];
 };
 
@@ -404,6 +422,38 @@ ScenarioRaw* scenario_load(const char* path) {
     memcpy(out->road_points, pts.data(), pts.size() * sizeof(float));
   }
 
+  // traffic lights (scenario.cc:222-241): lane positions are static (first
+  // element); states are (state, time_index) pairs expanded to dense [L, T]
+  const JValue* tls = root.find("tl_states");
+  if (tls && tls->kind == JValue::kArray && tls->size() > 0) {
+    const size_t L = tls->size();
+    out->num_lights = (int32_t)L;
+    out->tl_positions = (float*)calloc(L * 2, sizeof(float));
+    out->tl_state = (int8_t*)calloc(L * T, sizeof(int8_t));
+    for (size_t i = 0; i < L; ++i) {
+      const JValue& tl = (*tls)[i];
+      const JValue* xs = tl.find("x");
+      const JValue* ys = tl.find("y");
+      if (xs && xs->kind == JValue::kArray && xs->size() > 0)
+        out->tl_positions[i * 2 + 0] = (float)(*xs)[0].number();
+      if (ys && ys->kind == JValue::kArray && ys->size() > 0)
+        out->tl_positions[i * 2 + 1] = (float)(*ys)[0].number();
+      const JValue* st = tl.find("state");
+      const JValue* ti = tl.find("time_index");
+      if (!st || !ti || st->kind != JValue::kArray || ti->kind != JValue::kArray)
+        continue;
+      const size_t n = st->size() < ti->size() ? st->size() : ti->size();
+      for (size_t k = 0; k < n; ++k) {
+        const long tt = (long)(*ti)[k].number();
+        if (tt < 0 || (size_t)tt >= T) continue;
+        const JValue& sv = (*st)[k];
+        const int sid = sv.kind == JValue::kString ? tl_state_id(sv.str)
+                                                   : (int)sv.number();
+        out->tl_state[i * T + tt] = (int8_t)sid;
+      }
+    }
+  }
+
   return out;
 }
 
@@ -425,6 +475,8 @@ void scenario_free(ScenarioRaw* s) {
   free(s->road_offsets);
   free(s->road_counts);
   free(s->road_types);
+  free(s->tl_positions);
+  free(s->tl_state);
   delete s;
 }
 

@@ -145,6 +145,16 @@ class WaymoDatasetConfig:
     center_on_focal_agent: bool = True
     supervise_focal_agent: bool = True
 
+    # TPU extension (no reference counterpart): anchor the training sample's
+    # SE(2) frame + relevant-agent crop at EPISODE start (t=0) instead of the
+    # random window start. This matches the streaming rollout's fixed
+    # per-episode frame (rollout/streaming.py), closing the train/eval
+    # distribution gap for streaming-mode evaluation. The reference-parity
+    # ("paper") configuration keeps this False and evaluates in exact mode,
+    # which re-anchors at each window start like
+    # datasets/rl_waymo/dataset.py:390-428.
+    episode_start_normalization: bool = False
+
     @property
     def action_dim(self) -> int:
         return self.accel_discretization * self.steer_discretization
@@ -277,6 +287,11 @@ class TrainConfig:
     # GSPMD: number of data-parallel shards is taken from the mesh at runtime
     save_dir: str = "checkpoints"
     keep_last_n: int = 2
+    # experiment logging (reference train.py:50-60 WandbLogger gate +
+    # models/ctrl_sim.py:231-238 per-layer grad norms); metrics always go to
+    # save_dir/metrics.jsonl, wandb mirrors when track and importable
+    track: bool = False
+    log_grad_norms: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -427,6 +442,10 @@ def preset(name: str) -> Config:
                 "model.predict_rtg": False,
                 "model.num_transformer_encoder_layers": 2,
                 "policy.predict_rtgs": False,
+                # cfgs/train/ctg_plus_plus.yaml: lr 2e-4,
+                # gradient_accumulate_every 2
+                "train.lr": 2e-4,
+                "train.accum_steps": 2,
             }
         )
     raise ValueError(f"unknown preset: {name!r}")

@@ -108,16 +108,26 @@ def build_train_sample(
     #  episode masks itself out)
 
     # random moving origin agent existing at window start
-    # (dataset_ctrl_sim.py:30-35)
-    cand = (w_states[:, 0, -1] > 0) & moving & filtered
+    # (dataset_ctrl_sim.py:30-35); under episode_start_normalization the
+    # origin must exist at EPISODE start instead (filtered already requires
+    # existence[:, 0] > 0), matching the streaming rollout's t=0 group build
+    if wc.episode_start_normalization:
+        cand = moving & filtered
+    else:
+        cand = (w_states[:, 0, -1] > 0) & moving & filtered
     logits = jnp.where(cand, 0.0, -jnp.inf)
     origin_agent = jax.random.categorical(k_origin, logits)
     if focal_idx is not None:
         use_focal = (focal_idx >= 0) & cfg.waymo.center_on_focal_agent
         origin_agent = jnp.where(use_focal, jnp.maximum(focal_idx, 0), origin_agent)
 
+    # crop anchor positions: window start by default, episode start under
+    # episode_start_normalization (streaming groups are built at t=0)
+    crop_pos = (
+        states[:, 0, :2] if wc.episode_start_normalization else w_states[:, 0, :2]
+    )
     sel = tf.select_relevant_agents_idx(
-        w_states[:, 0, :2],
+        crop_pos,
         filtered,
         origin_agent,
         wc,
@@ -140,6 +150,16 @@ def build_train_sample(
     disc_actions = tf.discretize_actions(sel_actions, wc)
     disc_rtgs = tf.discretize_rtgs(sel_rtgs, wc)
 
+    anchor_pose = None
+    if wc.episode_start_normalization:
+        # frame anchored at the origin agent's EPISODE-start pose (x, y, yaw)
+        anchor_pose = jnp.stack(
+            [
+                states[origin_agent, 0, 0],
+                states[origin_agent, 0, 1],
+                states[origin_agent, 0, 4],
+            ]
+        )
     norm = tf.normalize_scene(
         sel_states,
         road_points,
@@ -148,6 +168,7 @@ def build_train_sample(
         sel_goals,
         sel.new_origin_idx,
         wc,
+        anchor_pose=anchor_pose,
     )
 
     # agent types: gathered one-hot; invalid slots are -1 rows in the

@@ -275,6 +275,7 @@ def normalize_scene(
     goals: Array,  # [K, 5]
     origin_agent_idx: Array,  # int — slot of origin agent
     cfg: WaymoDatasetConfig,
+    anchor_pose: Array | None = None,  # [3] (x, y, yaw) explicit frame anchor
 ) -> NormalizedScene:
     """SE(2)-normalize the scene to the origin agent at the window start,
     rotating its heading to +pi/2, and keep the <=200 closest polylines
@@ -283,10 +284,19 @@ def normalize_scene(
     Fixed-shape: when there are fewer polylines than the cap the reference
     zero-pads; we always select the 200 smallest-distance rows, with invalid
     rows given infinite distance — identical result, no dynamic shapes.
+
+    ``anchor_pose`` overrides the frame anchor (default: the origin agent's
+    pose at the window start) — used by episode_start_normalization to pin
+    the frame at the origin's EPISODE-start pose, matching the streaming
+    rollout's fixed per-episode frame.
     """
-    yaw = agent_states[origin_agent_idx, 0, 4]
+    if anchor_pose is None:
+        yaw = agent_states[origin_agent_idx, 0, 4]
+        translation = agent_states[origin_agent_idx, 0, :2]
+    else:
+        yaw = anchor_pose[2]
+        translation = anchor_pose[:2]
     angle_of_rotation = (jnp.pi / 2) + jnp.sign(-yaw) * jnp.abs(yaw)
-    translation = agent_states[origin_agent_idx, 0, :2]
 
     pos = apply_se2(agent_states[..., :2], translation, angle_of_rotation)
     vel = apply_se2(agent_states[..., 2:4], jnp.zeros(2), angle_of_rotation)

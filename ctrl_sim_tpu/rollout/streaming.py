@@ -36,8 +36,9 @@ Semantics deviation vs the reference (documented): the frame is anchored at
 episode start rather than re-anchored at each window start, and agent slots
 are not re-sorted when agents leave the 60 m radius (they are masked
 instead). Models intended for streaming eval should train with
-``data.episode_start_normalization`` so train and eval see the same frames;
-the exact-mode path remains for reference-parity evaluation.
+``waymo.episode_start_normalization=True`` (data/pipeline.py then anchors
+the training frame + crop at episode start) so train and eval see the same
+frames; the exact-mode path remains for reference-parity evaluation.
 """
 
 from __future__ import annotations
@@ -193,11 +194,35 @@ def run_streaming(
         )
 
     road_points = bcast_groups(jnp.asarray(scenario.road_points))
+    road_types_eg = bcast_groups(jnp.asarray(scenario.road_types))
+    road_valid_eg = bcast_groups(jnp.asarray(scenario.road_valid))
     rp_xy = jax.vmap(lambda t_, r, p: apply_se2(p, t_, r))(
         frame.translation, frame.rotation, road_points[..., :2]
     )
     n_roads = jnp.concatenate([rp_xy, road_points[..., 2:]], axis=-1)
     n_roads = n_roads * (road_points[..., -1:] > 0)  # keep pad zeros exact
+
+    # keep the <=max_num_road_polylines closest polylines in the (fixed)
+    # frame — the same crop normalize_scene applies per window in exact mode
+    # (dataset.py:415-426); without it the streaming map memory sees a
+    # different polyline set than training did
+    cap = wc.max_num_road_polylines
+    if n_roads.shape[1] > cap:
+        max_dist = jnp.max(
+            jnp.linalg.norm(n_roads[..., :2], axis=-1) * n_roads[..., -1], axis=2
+        )  # [EG, P]
+        max_dist = jnp.where(road_valid_eg, max_dist, jnp.inf)
+        keep = jnp.argsort(max_dist, axis=1)[:, :cap]  # [EG, cap]
+        n_roads = jnp.take_along_axis(n_roads, keep[:, :, None, None], axis=1)
+        road_types_eg = jnp.take_along_axis(
+            road_types_eg, keep[:, :, None], axis=1
+        )
+        kept_valid = jnp.take_along_axis(road_valid_eg, keep, axis=1)
+        n_roads = n_roads * kept_valid[:, :, None, None].astype(n_roads.dtype)
+        road_types_eg = jnp.where(kept_valid[:, :, None], road_types_eg, -1.0)
+    else:
+        n_roads = n_roads * road_valid_eg[:, :, None, None].astype(n_roads.dtype)
+        road_types_eg = jnp.where(road_valid_eg[:, :, None], road_types_eg, -1.0)
 
     # relevant set at t=0 = sticky group membership
     relevant0 = groups.member_valid
@@ -223,7 +248,7 @@ def run_streaming(
     )
     memory, memory_valid = model.apply(
         params,
-        bcast_groups(jnp.asarray(scenario.road_types)),
+        road_types_eg,
         method=lambda m, rt: m.encode_rollout_memory(
             n_roads, rt, init_states12, n_goals, init_exist, jnp.asarray(0, jnp.int32)
         ),

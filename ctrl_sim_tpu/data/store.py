@@ -88,14 +88,20 @@ class ScenarioStore:
         return cls(cfg, scenario, offline)
 
     # ------------------------------------------------------------------
-    def sample_batch(self, key, batch_size: int) -> dict:
+    def sample_batch(self, key, batch_size: int, family: str = "ctrl_sim") -> dict:
         """Sample scenario indices (with replacement) and build a training
-        batch on device."""
+        batch on device. ``family='ctg_plus_plus'`` builds the CTG++
+        diffusion batch (past/future split, local frames, relative
+        encodings) instead of the token batch."""
         k_idx, k_batch = jax.random.split(jnp.asarray(key))
         idx = jax.random.randint(k_idx, (batch_size,), 0, self.num_scenes)
         idx = np.asarray(idx)
         scen = _to_device(_gather_scenario(self.scenario, idx))
         off = jax.tree.map(lambda x: jnp.asarray(x[idx]), self.offline)
+        if family == "ctg_plus_plus":
+            from ctrl_sim_tpu.data.ctg_pipeline import build_ctg_batch
+
+            return build_ctg_batch(self.cfg, k_batch, scen, off)
         return build_train_batch(self.cfg, k_batch, scen, off)
 
 

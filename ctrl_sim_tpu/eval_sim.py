@@ -18,7 +18,6 @@ from ctrl_sim_tpu.config import _set_dotted, load_config, preset
 from ctrl_sim_tpu.data.scenario import load_scenario_json
 from ctrl_sim_tpu.data.synthetic import synthetic_scenario
 from ctrl_sim_tpu.evals.evaluator import PolicyEvaluator
-from ctrl_sim_tpu.models.ctrl_sim import CtRLSim
 from ctrl_sim_tpu.train import parse_overrides
 from ctrl_sim_tpu.training import Trainer
 from ctrl_sim_tpu.training.checkpoint import CheckpointManager
@@ -48,13 +47,16 @@ def main(argv: list[str] | None = None) -> None:
         n = args.synthetic or 8
         scenes = [synthetic_scenario(cfg, seed=s, num_agents=12) for s in range(n)]
 
-    model = CtRLSim(cfg)
     # init params (template), then restore checkpoint when provided
     from ctrl_sim_tpu.data.store import ScenarioStore
+    from ctrl_sim_tpu.training import CTGTrainer
 
+    is_ctg = cfg.model.ctg_plus_plus
+    family = "ctg_plus_plus" if is_ctg else "ctrl_sim"
     store = ScenarioStore.from_scenes(cfg, scenes[: min(4, len(scenes))])
-    sample = store.sample_batch(jax.random.PRNGKey(0), 2)
-    trainer = Trainer(cfg)
+    sample = store.sample_batch(jax.random.PRNGKey(0), 2, family=family)
+    trainer = (CTGTrainer if is_ctg else Trainer)(cfg)
+    model = trainer.model
     state = trainer.init_state(jax.random.PRNGKey(0), sample)
     if args.ckpt:
         mgr = CheckpointManager(cfg, args.ckpt)

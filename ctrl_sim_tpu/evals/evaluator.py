@@ -110,16 +110,28 @@ class PolicyEvaluator:
                 cfg.waymo,
             )
         )
-        run_fn = (
-            run_streaming
-            if cfg.eval.rollout_mode == "streaming"
-            else run_closed_loop
-        )
-        self._rollout = jax.jit(
-            lambda sb, p, c, r, g: run_fn(
-                cfg, model, p, sb, c, r, self.tilt_logits, groups=g
+        if cfg.model.ctg_plus_plus:
+            # CTG++ closed-loop policy (policy_evaluator.py:466-593 +
+            # eval_sim.py:19-32): diffusion replanning at 2 Hz, no RTG
+            # tilting; scenes must fit one <=max_num_agents crop (the
+            # reference's CTG++ eval partitions scenes externally the same
+            # way — run_ctg_closed_loop has no focal-group path)
+            from ctrl_sim_tpu.rollout.ctg_rollout import run_ctg_closed_loop
+
+            self._rollout = jax.jit(
+                lambda sb, p, c, r, g: run_ctg_closed_loop(cfg, model, p, sb, c, r)
             )
-        )
+        else:
+            run_fn = (
+                run_streaming
+                if cfg.eval.rollout_mode == "streaming"
+                else run_closed_loop
+            )
+            self._rollout = jax.jit(
+                lambda sb, p, c, r, g: run_fn(
+                    cfg, model, p, sb, c, r, self.tilt_logits, groups=g
+                )
+            )
 
     def evaluate(self, scenes: list[Scenario]) -> dict:
         cfg = self.cfg

@@ -31,7 +31,7 @@ from ctrl_sim_tpu.config import Config, load_config, preset
 from ctrl_sim_tpu.data.store import ScenarioStore
 from ctrl_sim_tpu.data.synthetic import synthetic_scenario
 from ctrl_sim_tpu.parallel import make_mesh
-from ctrl_sim_tpu.training import Trainer
+from ctrl_sim_tpu.training import CTGTrainer, Trainer
 from ctrl_sim_tpu.training.checkpoint import CheckpointManager
 
 
@@ -102,10 +102,12 @@ def main(argv: list[str] | None = None) -> None:
     if args.val_dir:
         val_store = ScenarioStore.from_json_dir(cfg, args.val_dir, limit=args.limit_files)
 
-    trainer = Trainer(cfg, mesh=mesh)
+    is_ctg = cfg.model.ctg_plus_plus
+    family = "ctg_plus_plus" if is_ctg else "ctrl_sim"
+    trainer = (CTGTrainer if is_ctg else Trainer)(cfg, mesh=mesh)
     key = jax.random.PRNGKey(cfg.train.seed)
     key, k_init, k_data = jax.random.split(key, 3)
-    sample = store.sample_batch(k_data, batch_size)
+    sample = store.sample_batch(k_data, batch_size, family=family)
     state = trainer.init_state(k_init, sample)
 
     save_dir = args.save_dir or cfg.train.save_dir
@@ -114,15 +116,23 @@ def main(argv: list[str] | None = None) -> None:
         print(f"[train] resuming from step {mgr.latest_step()}")
         state = mgr.restore(state)
 
+    from ctrl_sim_tpu.utils.logging import MetricsLogger
+
+    logger = MetricsLogger(save_dir, track=cfg.train.track, config=cfg)
     train_step = trainer.make_train_step()
     eval_step = trainer.make_eval_step()
+    grad_norm_fn = (
+        trainer.make_grad_norm_fn()
+        if (cfg.train.log_grad_norms and not is_ctg)
+        else None
+    )
 
     t0 = time.time()
     dropout_key = jax.random.PRNGKey(cfg.train.seed + 1)
     step = int(state.step)
     while step < cfg.train.max_steps:
         key, k_batch = jax.random.split(key)
-        batch = store.sample_batch(k_batch, batch_size)
+        batch = store.sample_batch(k_batch, batch_size, family=family)
         batch = mesh.shard_batch(batch)
         state, losses = train_step(state, batch, dropout_key)
         step += 1
@@ -130,25 +140,53 @@ def main(argv: list[str] | None = None) -> None:
             total = float(losses.total)
             dt = time.time() - t0
             t0 = time.time()
-            print(
-                f"[train] step={step} loss={total:.4f} "
-                f"actions={float(losses.loss_actions):.4f} "
-                f"rtg={float(losses.loss_rtg_goal):.4f}/"
-                f"{float(losses.loss_rtg_veh):.4f}/"
-                f"{float(losses.loss_rtg_road):.4f} "
-                f"state={float(losses.loss_state):.4f} "
-                f"steps/s={args.log_every / dt:.2f}"
-            )
+            row = {k: float(v) for k, v in losses._asdict().items()}
+            row["steps_per_sec"] = args.log_every / dt
+            if grad_norm_fn is not None:
+                gn = grad_norm_fn(state, batch, dropout_key)
+                row.update({k: float(v) for k, v in gn.items()})
+            logger.log(step, row)
+            if is_ctg:
+                print(
+                    f"[train] step={step} loss={total:.4f} "
+                    f"diffusion={float(losses.diffusion_loss):.4f} "
+                    f"a0={float(losses.a0_loss):.4f} "
+                    f"rtg={float(losses.rtg_goal):.4f}/"
+                    f"{float(losses.rtg_veh):.4f}/"
+                    f"{float(losses.rtg_road):.4f} "
+                    f"steps/s={args.log_every / dt:.2f}"
+                )
+            else:
+                print(
+                    f"[train] step={step} loss={total:.4f} "
+                    f"actions={float(losses.loss_actions):.4f} "
+                    f"rtg={float(losses.loss_rtg_goal):.4f}/"
+                    f"{float(losses.loss_rtg_veh):.4f}/"
+                    f"{float(losses.loss_rtg_road):.4f} "
+                    f"state={float(losses.loss_state):.4f} "
+                    f"steps/s={args.log_every / dt:.2f}"
+                )
         if args.val_every and val_store is not None and step % args.val_every == 0:
             key, k_val = jax.random.split(key)
-            vb = mesh.shard_batch(val_store.sample_batch(k_val, batch_size))
-            vl = eval_step(state, vb)
-            print(f"[val] step={step} val_loss={float(vl.total):.4f}")
-            mgr.save(step, jax.device_get(state), metrics={"val_loss": float(vl.total)})
+            vb = mesh.shard_batch(val_store.sample_batch(k_val, batch_size, family=family))
+            if is_ctg:
+                key, k_mse = jax.random.split(key)
+                vm = eval_step(state, vb, k_mse)
+                # checkpoint selection by state_mse (train.py:38-46 monitor)
+                val_metric = float(vm["state_mse"])
+                print(f"[val] step={step} state_mse={val_metric:.4f} "
+                      f"action_mse={float(vm['action_mse']):.4f}")
+            else:
+                vl = eval_step(state, vb)
+                val_metric = float(vl.total)
+                print(f"[val] step={step} val_loss={val_metric:.4f}")
+            logger.log(step, {"val_loss": val_metric})
+            mgr.save(step, jax.device_get(state), metrics={"val_loss": val_metric})
         elif step % args.ckpt_every == 0:
             mgr.save(step, jax.device_get(state))
     mgr.save(step, jax.device_get(state))
     mgr.wait()
+    logger.close()
     print(f"[train] done at step {step}; checkpoints in {save_dir}")
 
 

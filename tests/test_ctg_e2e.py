@@ -1,0 +1,115 @@
+"""CTG++ end-to-end: CTGTrainer smoke-train -> closed-loop PolicyEvaluator
+eval -> metrics dict (VERDICT item 6 'done' criterion).
+
+Covers the full wiring the reference exposes through train.py +
+eval_sim.py for the CTG++ baseline (reference: eval_sim.py:19-32,
+evaluators/policy_evaluator.py:466-593, cfgs/train/ctg_plus_plus.yaml):
+- the ``ctg_plus_plus`` preset carries the reference recipe (lr 2e-4,
+  gradient accumulation 2);
+- ScenarioStore serves CTG++ diffusion batches (family='ctg_plus_plus');
+- CTGTrainer's jitted train step decreases the diffusion loss;
+- validation_mse eval step runs;
+- PolicyEvaluator dispatches to run_ctg_closed_loop and produces the
+  Table-1 metric suite.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ctrl_sim_tpu.config import _set_dotted, preset
+from ctrl_sim_tpu.data import synthetic_scenario
+from ctrl_sim_tpu.data.store import ScenarioStore
+from ctrl_sim_tpu.evals.evaluator import PolicyEvaluator
+from ctrl_sim_tpu.training import CTGTrainer
+
+SMALL = {
+    "model.hidden_dim": 16,
+    "model.dim_feedforward": 32,
+    "model.num_heads": 2,
+    "model.num_transformer_encoder_layers": 1,
+    "model.dropout": 0.0,
+    "model.compute_dtype": "float32",
+    "model.n_diffusion_steps": 8,
+    "model.n_eval_diffusion_step": 4,
+    "model.use_rtg": False,
+    "waymo.train_context_length": 12,
+    "waymo.input_horizon": 4,
+    "waymo.max_num_agents": 4,
+    "waymo.max_num_road_polylines": 6,
+    "waymo.max_num_road_pts_per_polyline": 8,
+    "sim.steps": 16,
+    "sim.history_steps": 4,
+    "sim.max_agents": 4,
+    "train.warmup_steps": 2,
+    "train.max_steps": 20,
+    "train.accum_steps": 2,
+}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = preset("ctg_plus_plus")
+    assert cfg.train.lr == 2e-4 and cfg.train.accum_steps == 2  # preset recipe
+    for k, v in SMALL.items():
+        cfg = _set_dotted(cfg, k, v)
+    scenes = [
+        synthetic_scenario(cfg, seed=s, num_agents=3, arena_half=60.0, num_lanes=2)
+        for s in range(3)
+    ]
+    store = ScenarioStore.from_scenes(cfg, scenes)
+    return cfg, scenes, store
+
+
+def test_ctg_trainer_loss_decreases(setup):
+    cfg, scenes, store = setup
+    trainer = CTGTrainer(cfg)
+    sample = store.sample_batch(jax.random.PRNGKey(0), 4, family="ctg_plus_plus")
+    state = trainer.init_state(jax.random.PRNGKey(0), sample)
+    train_step = trainer.make_train_step()
+    losses0 = None
+    for i in range(8):
+        batch = store.sample_batch(
+            jax.random.PRNGKey(10 + i), 4, family="ctg_plus_plus"
+        )
+        state, losses = train_step(state, batch, jax.random.PRNGKey(1))
+        if losses0 is None:
+            losses0 = float(losses.total)
+        assert np.isfinite(float(losses.total))
+    # diffusion L2 on a tiny model falls fast from random init
+    assert float(losses.total) < losses0
+
+    eval_step = trainer.make_eval_step()
+    vb = store.sample_batch(jax.random.PRNGKey(99), 4, family="ctg_plus_plus")
+    mse = eval_step(state, vb, jax.random.PRNGKey(5))
+    assert np.isfinite(float(mse["state_mse"]))
+    assert np.isfinite(float(mse["action_mse"]))
+
+    # closed-loop eval on the trained params through the evaluator dispatch
+    evaluator = PolicyEvaluator(cfg, trainer.model, state.params, lane_batch=2)
+    metrics = evaluator.evaluate(scenes)
+    assert metrics, "evaluator selected no vehicles"
+    for k in ("goal", "collision_rate", "offroad_rate", "ade", "fde"):
+        assert k in metrics, sorted(metrics)
+        assert np.isfinite(metrics[k]), (k, metrics[k])
+
+
+def test_train_cli_ctg_smoke(tmp_path):
+    """python -m ctrl_sim_tpu.train --preset ctg_plus_plus end-to-end."""
+    from ctrl_sim_tpu.train import main
+
+    overrides = [f"{k}={v}" for k, v in SMALL.items()]
+    main(
+        [
+            "--preset", "ctg_plus_plus",
+            "--synthetic", "3",
+            "--synthetic_agents", "3",
+            "--steps", "2",
+            "--save_dir", str(tmp_path / "ckpt"),
+            "--log_every", "1",
+            "--ckpt_every", "2",
+        ]
+        + [x for pair in (("-o", o) for o in overrides) for x in pair]
+        + ["-o", "train.global_batch_size=4"]
+    )

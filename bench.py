@@ -109,10 +109,16 @@ def main() -> None:
 
     n_chunks = max(total_envs // chunk, 1)
     t0 = time.time()
-    checksum = 0.0
-    for i in range(n_chunks):
-        out = rollout(sb, params, controlled, jax.random.PRNGKey(2 + i), tilt)
-        checksum += _materialize(out)
+    # dispatch every chunk before materializing any: device execution is
+    # in-order, so the final transfers complete only after ALL rollouts ran —
+    # the elapsed window still covers every chunk's device time, but the
+    # per-call tunnel round-trip (dispatch + host sync) no longer serializes
+    # into the measurement
+    outs = [
+        rollout(sb, params, controlled, jax.random.PRNGKey(2 + i), tilt)
+        for i in range(n_chunks)
+    ]
+    checksum = sum(_materialize(o) for o in outs)
     elapsed = time.time() - t0
     print(f"[bench] checksum {checksum:.3f}", file=sys.stderr)
 

@@ -75,6 +75,11 @@ class SimConfig:
     # (object.cc:126); 'physics' replicates the Box2D FreeCar velocity-level
     # model (FreeCar.cpp:98-181) used by the reference eval / data-gen path.
     dynamics: str = "physics"
+    # Box2D-style impulse contact resolution between vehicles
+    # (env/contacts.py; PhysicsSimulation.cpp:16-25 b2World::Step(dt, 8, 3)).
+    # Off by default: the collision-as-reward contract (env/dynamics.py);
+    # switch on for closest reference parity of post-collision trajectories.
+    resolve_contacts: bool = False
     max_agents: int = 24  # padded agent axis of the batched env
     max_road_edge_segments: int = 1024  # padded road-edge segment soup
     rewards: RewardConfig = field(default_factory=RewardConfig)

@@ -1,0 +1,324 @@
+"""Minimal Box2D-style contact resolution for vehicle-vehicle collisions.
+
+The reference steps a zero-gravity ``b2World`` with 8 velocity and 3 position
+iterations (nocturne/cpp/src/physics/PhysicsSimulation.cpp:16-25); every car
+is a dynamic box fixture with density 20 and Box2D's default material
+(friction 0.2, restitution 0 — FreeCar.cpp:34-41, ExpertControlCar.cpp:11-17).
+So when two vehicles touch, the reference does NOT let them pass through: a
+sequential-impulse solver zeroes the approaching normal velocity (perfectly
+inelastic), applies Coulomb friction along the tangent, and a Baumgarte
+positional pass removes the residual overlap.
+
+This module replicates that response with a TPU-native all-pairs Jacobi
+impulse solver over the dense [A, A] contact matrix:
+
+- contact geometry from the same SAT the collision detector uses: penetration
+  normal = the minimum-overlap axis of the 4 box axes, depth = that overlap,
+  contact point = midpoint of the two deepest support vertices (Box2D clips a
+  2-point manifold; a 1-point approximation is the documented simplification);
+- mass/inertia from the fixture: m = rho * L * W, I = m (L^2 + W^2) / 12
+  (b2PolygonShape::ComputeMass for SetAsBox);
+- velocity pass: ``velocity_iterations`` Jacobi sweeps of accumulated-impulse
+  normal (clamped >= 0, restitution 0) + friction (|lambda_t| <= mu lambda_n)
+  updates — Box2D runs Gauss-Seidel; Jacobi converges equally well at the
+  1-2 contacts/vehicle these scenes produce and keeps every pair data-parallel;
+- position pass: ``position_iterations`` Baumgarte sweeps pushing the bodies
+  apart along the contact normal by beta * (depth - slop), split by inverse
+  mass (linear-only; Box2D also rotates — second documented simplification).
+
+Simulation order matches b2World::Step: FreeCar sets velocities, the velocity
+constraints are solved, THEN positions integrate with the corrected
+velocities, then overlap is corrected. ``resolve_contacts`` therefore takes
+the pre-step poses plus the FreeCar-proposed velocities and returns the
+re-integrated bodies.
+
+Enabled with ``sim.resolve_contacts`` (default off: the collision-as-reward
+contract documented in env/dynamics.py). tools/contact_deviation.py
+quantifies the with/without trajectory drift; numbers in COMPONENTS.md.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ctrl_sim_tpu.config import PhysicsConfig
+from ctrl_sim_tpu.env.dynamics import BodyState
+from ctrl_sim_tpu.geometry import angle_add, obb_corners
+
+Array = jax.Array
+
+# Box2D fixture/material constants (FreeCar.cpp:40, b2_settings defaults)
+DENSITY = 20.0
+FRICTION = 0.2
+VELOCITY_ITERATIONS = 8
+POSITION_ITERATIONS = 3
+BAUMGARTE = 0.2  # b2_baumgarte
+LINEAR_SLOP = 0.005  # b2_linearSlop
+MAX_CORRECTION = 0.2  # b2_maxLinearCorrection
+
+
+def _cross2(a: Array, b: Array) -> Array:
+    """z-component of the 2-D cross product (broadcasts on leading dims)."""
+    return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+
+
+def _contact_geometry(
+    position: Array,  # [A, 2]
+    heading: Array,  # [A]
+    length: Array,  # [A]
+    width: Array,  # [A]
+    active: Array,  # [A] bool
+):
+    """All-pairs SAT contact manifold.
+
+    Returns (touching [A, A] bool on i<j, normal [A, A, 2] from i to j,
+    depth [A, A], points [A, A, 2, 2]) — a 2-point manifold: the two deepest
+    vertices of the *incident* box (the one not owning the min-overlap axis),
+    clamped to the reference box's extent along the contact tangent. This is
+    the vectorized equivalent of Box2D's face-clipping (b2CollidePolygons):
+    face-face contacts get a symmetric 2-point manifold (no spurious torque),
+    corner contacts degenerate to two nearby points.
+    """
+    A = position.shape[0]
+    corners = obb_corners(position, heading, length, width)  # [A, 4, 2]
+    c, s = jnp.cos(heading), jnp.sin(heading)
+    axes_own = jnp.stack(
+        [jnp.stack([c, s], -1), jnp.stack([-s, c], -1)], axis=1
+    )  # [A, 2(axes), 2]
+
+    # candidate axes per pair: i's two + j's two -> [A, A, 4, 2]
+    ax_i = jnp.broadcast_to(axes_own[:, None], (A, A, 2, 2))
+    ax_j = jnp.broadcast_to(axes_own[None, :], (A, A, 2, 2))
+    axes = jnp.concatenate([ax_i, ax_j], axis=2)  # [A, A, 4, 2]
+
+    # project both boxes' corners on every candidate axis
+    proj_i = jnp.einsum("icm,ijkm->ijkc", corners, axes)  # [A, A, 4, 4]
+    proj_j = jnp.einsum("jcm,ijkm->ijkc", corners, axes)
+    overlap = jnp.minimum(proj_i.max(-1), proj_j.max(-1)) - jnp.maximum(
+        proj_i.min(-1), proj_j.min(-1)
+    )  # [A, A, 4]
+
+    touching = jnp.all(overlap > 0.0, axis=-1)
+    kmin = jnp.argmin(overlap, axis=-1)  # [A, A]
+    depth = jnp.take_along_axis(overlap, kmin[..., None], axis=-1)[..., 0]
+    normal = jnp.take_along_axis(
+        axes, kmin[..., None, None], axis=2
+    )[..., 0, :]  # [A, A, 2]
+    # orient from i toward j
+    d_ij = position[None, :] - position[:, None]  # [A, A, 2]
+    flip = jnp.sum(normal * d_ij, axis=-1) < 0.0
+    normal = jnp.where(flip[..., None], -normal, normal)
+
+    # 2-point manifold: the incident box is the one NOT owning the
+    # min-overlap axis (axes 0-1 belong to i, 2-3 to j)
+    inc_is_j = kmin < 2  # [A, A]
+    corners_i = jnp.broadcast_to(corners[:, None], (A, A, 4, 2))
+    corners_j = jnp.broadcast_to(corners[None, :], (A, A, 4, 2))
+    inc_corners = jnp.where(inc_is_j[..., None, None], corners_j, corners_i)
+    ref_corners = jnp.where(inc_is_j[..., None, None], corners_i, corners_j)
+
+    # penetration order along the normal: incident = j sinks along -n,
+    # incident = i sinks along +n
+    proj_inc = jnp.einsum("ijcm,ijm->ijc", inc_corners, normal)  # [A, A, 4]
+    key = jnp.where(inc_is_j[..., None], proj_inc, -proj_inc)
+    order = jnp.argsort(key, axis=-1)  # two smallest = the incident face
+    deepest2 = jnp.take_along_axis(
+        inc_corners, order[..., :2, None], axis=2
+    )  # [A, A, 2, 2]
+
+    # clamp the incident face to the reference box's tangent extent
+    # (the vectorized face clip)
+    tangent = jnp.stack([-normal[..., 1], normal[..., 0]], axis=-1)
+    ref_t = jnp.einsum("ijcm,ijm->ijc", ref_corners, tangent)  # [A, A, 4]
+    t_lo, t_hi = ref_t.min(-1), ref_t.max(-1)
+    pt_t = jnp.einsum("ijpm,ijm->ijp", deepest2, tangent)  # [A, A, 2]
+    pt_t_cl = jnp.clip(pt_t, t_lo[..., None], t_hi[..., None])
+    points = deepest2 + (pt_t_cl - pt_t)[..., None] * tangent[..., None, :]
+
+    upper = jnp.arange(A)[:, None] < jnp.arange(A)[None, :]
+    touching = touching & upper & active[:, None] & active[None, :]
+    return touching, normal, depth, points
+
+
+def _solve_velocities(
+    velocity: Array,  # [A, 2]
+    angular_velocity: Array,  # [A]
+    position: Array,  # [A, 2] (pre-integration, = contact frame)
+    inv_m: Array,  # [A]
+    inv_i: Array,  # [A]
+    touching: Array,  # [A, A] (i<j)
+    normal: Array,  # [A, A, 2]
+    points: Array,  # [A, A, P, 2] — 2-point manifold
+    iterations: int,
+) -> tuple[Array, Array]:
+    """Accumulated-impulse Jacobi solve over the 2-point manifolds,
+    restitution 0 + Coulomb friction."""
+    r_i = points - position[:, None, None]  # [A, A, P, 2]
+    r_j = points - position[None, :, None]
+    tangent = jnp.stack([-normal[..., 1], normal[..., 0]], axis=-1)
+    n_p = normal[..., None, :]  # broadcast over the point axis
+    t_p = tangent[..., None, :]
+
+    rin = _cross2(r_i, n_p)  # [A, A, P]
+    rjn = _cross2(r_j, n_p)
+    rit = _cross2(r_i, t_p)
+    rjt = _cross2(r_j, t_p)
+    inv_m2 = inv_m[:, None, None] + inv_m[None, :, None]
+    kn = inv_m2 + rin**2 * inv_i[:, None, None] + rjn**2 * inv_i[None, :, None]
+    kt = inv_m2 + rit**2 * inv_i[:, None, None] + rjt**2 * inv_i[None, :, None]
+    solvable = touching[..., None] & (kn > 0.0)
+    kn = jnp.where(kn > 0.0, kn, 1.0)
+    kt = jnp.where(kt > 0.0, kt, 1.0)
+
+    def apply_point(v, w, p, imp_n_delta, imp_t_delta):
+        # impulse P[i,j] at point p acts +P on j, -P on i
+        P = imp_n_delta[..., None] * normal + imp_t_delta[..., None] * tangent
+        dv = (
+            jnp.sum(P, axis=0) * inv_m[:, None]  # body as j
+            - jnp.sum(P, axis=1) * inv_m[:, None]  # body as i
+        )
+        dw = (
+            jnp.sum(_cross2(r_j[:, :, p], P), axis=0)
+            - jnp.sum(_cross2(r_i[:, :, p], P), axis=1)
+        ) * inv_i
+        return v + dv, w + dw
+
+    perp_ri = jnp.stack([-r_i[..., 1], r_i[..., 0]], -1)  # w x r = w * perp(r)
+    perp_rj = jnp.stack([-r_j[..., 1], r_j[..., 0]], -1)
+
+    def vrel_at(v, w, p):
+        return (
+            v[None, :]
+            + perp_rj[:, :, p] * w[None, :, None]
+            - v[:, None]
+            - perp_ri[:, :, p] * w[:, None, None]
+        )
+
+    P_pts = points.shape[2]
+
+    def body(_, carry):
+        v, w, acc_n, acc_t = carry
+        # points are solved sequentially within an iteration (Box2D's
+        # manifold order); pairs are solved Jacobi-parallel
+        for p in range(P_pts):
+            # normal: target vn = 0 (restitution 0), accumulated impulse >= 0
+            vn = jnp.sum(vrel_at(v, w, p) * normal, axis=-1)
+            dn = jnp.where(solvable[..., p], -vn / kn[..., p], 0.0)
+            new_n = jnp.maximum(acc_n[..., p] + dn, 0.0)
+            dn = new_n - acc_n[..., p]
+            acc_n = acc_n.at[..., p].set(new_n)
+            v, w = apply_point(v, w, p, dn, jnp.zeros_like(dn))
+
+            # friction against the updated velocities, |acc_t| <= mu * acc_n
+            vt = jnp.sum(vrel_at(v, w, p) * tangent, axis=-1)
+            dt_ = jnp.where(solvable[..., p], -vt / kt[..., p], 0.0)
+            hi = FRICTION * new_n
+            new_t = jnp.clip(acc_t[..., p] + dt_, -hi, hi)
+            dt_ = new_t - acc_t[..., p]
+            acc_t = acc_t.at[..., p].set(new_t)
+            v, w = apply_point(v, w, p, jnp.zeros_like(dt_), dt_)
+        return v, w, acc_n, acc_t
+
+    zeros = jnp.zeros_like(kn)
+    v, w, _, _ = jax.lax.fori_loop(
+        0, iterations, body, (velocity, angular_velocity, zeros, zeros)
+    )
+    return v, w
+
+
+def _correct_positions(
+    position: Array,
+    heading: Array,
+    length: Array,
+    width: Array,
+    active: Array,
+    inv_m: Array,
+    iterations: int,
+) -> Array:
+    """Baumgarte overlap removal, linear-only (heading untouched)."""
+
+    def body(_, pos):
+        touching, normal, depth, _ = _contact_geometry(
+            pos, heading, length, width, active
+        )
+        corr = jnp.clip(
+            BAUMGARTE * (depth - LINEAR_SLOP), 0.0, MAX_CORRECTION
+        )
+        denom = inv_m[:, None] + inv_m[None, :]
+        share = jnp.where(
+            touching & (denom > 0.0), corr / jnp.where(denom > 0, denom, 1.0), 0.0
+        )
+        push = share[..., None] * normal  # applied -push*invm_i to i, +.. to j
+        dpos = (
+            jnp.sum(push, axis=0) * inv_m[:, None]
+            - jnp.sum(push, axis=1) * inv_m[:, None]
+        )
+        return pos + dpos
+
+    return jax.lax.fori_loop(0, iterations, body, position)
+
+
+def resolve_contacts(
+    pre: BodyState,  # bodies at the start of the step ([A] leading axis)
+    proposed: BodyState,  # FreeCar-stepped bodies (velocities to correct)
+    length: Array,  # [A]
+    width: Array,  # [A]
+    dynamic: Array,  # [A] bool — finite-mass bodies (alive, policy/replay)
+    kinematic: Array,  # [A] bool — infinite-mass participants (expert teleport)
+    dt: float,
+    cfg: PhysicsConfig = PhysicsConfig(),
+) -> BodyState:
+    """b2World::Step-ordered contact response for one scene (vmap over envs).
+
+    Takes the velocities FreeCar proposed for this step, solves the contact
+    constraints against the pre-step poses, and re-integrates. Non-active
+    bodies (dead/padding) pass through untouched.
+    """
+    active = dynamic | kinematic
+    mass = DENSITY * length * width
+    inv_m = jnp.where(dynamic, 1.0 / jnp.maximum(mass, 1e-6), 0.0)
+    inv_i = jnp.where(
+        dynamic, 12.0 / jnp.maximum(mass * (length**2 + width**2), 1e-6), 0.0
+    )
+
+    touching, normal, depth, point = _contact_geometry(
+        pre.position, pre.heading, length, width, active
+    )
+    any_contact = jnp.any(touching)
+
+    def solve(vel_w):
+        v0, w0 = vel_w
+        return _solve_velocities(
+            v0, w0, pre.position, inv_m, inv_i, touching, normal, point,
+            VELOCITY_ITERATIONS,
+        )
+
+    v, w = jax.lax.cond(
+        any_contact,
+        solve,
+        lambda vw: vw,
+        (proposed.velocity, proposed.angular_velocity),
+    )
+
+    position = pre.position + v * dt
+    heading = angle_add(pre.heading, w * dt)
+
+    def correct(p):
+        return _correct_positions(
+            p, heading, length, width, active, inv_m, POSITION_ITERATIONS
+        )
+
+    position = jax.lax.cond(any_contact, correct, lambda p: p, position)
+
+    speed = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1), 0.0))
+    changed = dynamic
+    return BodyState(
+        position=jnp.where(changed[..., None], position, proposed.position),
+        heading=jnp.where(changed, heading, proposed.heading),
+        speed=jnp.where(changed, speed, proposed.speed),
+        velocity=jnp.where(changed[..., None], v, proposed.velocity),
+        angular_velocity=jnp.where(changed, w, proposed.angular_velocity),
+        throttle_accel=proposed.throttle_accel,
+        brake_accel=proposed.brake_accel,
+    )

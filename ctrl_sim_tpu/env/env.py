@@ -236,6 +236,25 @@ class WaymoEnv:
                 sim.dt,
                 sim.physics,
             )
+            if sim.resolve_contacts:
+                # b2World::Step order: FreeCar proposes velocities, the
+                # contact solver corrects them, then positions integrate
+                # (env/contacts.py; PhysicsSimulation.cpp:16-25)
+                from ctrl_sim_tpu.env.contacts import resolve_contacts
+
+                valid = jnp.asarray(scenario.agent_valid)
+                stepped = jax.vmap(
+                    lambda pre, prop, ln, wd, dyn, kin: resolve_contacts(
+                        pre, prop, ln, wd, dyn, kin, sim.dt, sim.physics
+                    )
+                )(
+                    bodies,
+                    stepped,
+                    jnp.asarray(scenario.length),
+                    jnp.asarray(scenario.width),
+                    state.alive & valid & ~expert_mask,
+                    state.alive & valid & expert_mask,
+                )
         elif sim.dynamics == "kinematic":
             new_pos, new_heading, new_speed = kinematic_bicycle_step(
                 bodies.position,

@@ -1,0 +1,216 @@
+"""Contact-resolution tests (env/contacts.py) + the no-contact deviation
+quantification (VERDICT item 8).
+
+The reference resolves vehicle-vehicle contacts through Box2D
+(b2World::Step(dt, 8, 3), PhysicsSimulation.cpp:16-25) with inelastic normal
+impulses (restitution 0), Coulomb friction 0.2 and Baumgarte overlap
+correction. These tests check the TPU-native impulse solver reproduces the
+*physical invariants* of that solve (momentum conservation, no residual
+approach velocity, push response, mass-ratio split) and that the flag-off
+path is bitwise what it was before.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ctrl_sim_tpu.config import Config
+from ctrl_sim_tpu.data import stack_scenarios, synthetic_scenario
+from ctrl_sim_tpu.env.contacts import resolve_contacts
+from ctrl_sim_tpu.env.dynamics import BodyState, body_state_from_pose
+from ctrl_sim_tpu.env.env import WaymoEnv
+
+
+def _bodies(pos, heading, speed):
+    return body_state_from_pose(
+        jnp.asarray(pos, jnp.float32),
+        jnp.asarray(heading, jnp.float32),
+        jnp.asarray(speed, jnp.float32),
+    )
+
+
+def _solve(pre, proposed, length, width, dynamic, kinematic=None, dt=0.1):
+    length = jnp.asarray(length, jnp.float32)
+    width = jnp.asarray(width, jnp.float32)
+    dynamic = jnp.asarray(dynamic, bool)
+    kinematic = (
+        jnp.zeros_like(dynamic) if kinematic is None else jnp.asarray(kinematic, bool)
+    )
+    return jax.jit(
+        lambda a, b: resolve_contacts(a, b, length, width, dynamic, kinematic, dt)
+    )(pre, proposed)
+
+
+def test_head_on_inelastic_stops_both():
+    """Two identical cars driving into each other: restitution 0 kills the
+    closing speed; symmetric masses -> both end (near) stationary."""
+    pre = _bodies([[0.0, 0.0], [4.5, 0.0]], [0.0, np.pi], [5.0, 5.0])
+    out = _solve(pre, pre, [5.0, 5.0], [2.0, 2.0], [True, True])
+    vn = np.asarray(out.velocity)[:, 0]
+    # closing velocity removed (was +5 / -5)
+    assert abs(vn[0] - vn[1]) < 1e-3
+    # symmetric: both stop
+    assert np.all(np.abs(vn) < 1e-3)
+    # inelastic, not elastic: nobody reverses at speed
+    assert np.all(np.asarray(out.speed) < 0.05)
+
+
+def test_momentum_conserved_between_dynamic_bodies():
+    pre = _bodies([[0.0, 0.0], [4.0, 0.3]], [0.0, 0.5], [8.0, 1.0])
+    L = jnp.asarray([5.0, 4.0])
+    W = jnp.asarray([2.0, 1.8])
+    out = _solve(pre, pre, L, W, [True, True])
+    m = 20.0 * np.asarray(L) * np.asarray(W)
+    p_before = (m[:, None] * np.asarray(pre.velocity)).sum(0)
+    p_after = (m[:, None] * np.asarray(out.velocity)).sum(0)
+    np.testing.assert_allclose(p_before, p_after, rtol=1e-4, atol=1e-3)
+
+
+def test_rear_end_pushes_leader():
+    """Moving car rear-ends a stationary one: the leader gains forward
+    velocity, the follower slows — Box2D's push, not pass-through."""
+    pre = _bodies([[0.0, 0.0], [4.8, 0.0]], [0.0, 0.0], [10.0, 0.0])
+    out = _solve(pre, pre, [5.0, 5.0], [2.0, 2.0], [True, True])
+    v = np.asarray(out.velocity)[:, 0]
+    assert v[1] > 3.0, "leader should be shoved forward"
+    assert v[0] < 7.0, "follower should lose speed"
+    assert abs(v[0] - v[1]) < 1e-2, "restitution 0: matched velocities"
+
+
+def test_mass_ratio_splits_impulse():
+    """A heavy truck hitting a light car changes its own velocity less."""
+    pre = _bodies([[0.0, 0.0], [5.3, 0.0]], [0.0, 0.0], [10.0, 0.0])
+    out = _solve(pre, pre, [9.0, 3.0], [3.0, 1.5], [True, True])
+    dv = np.abs(np.asarray(out.velocity)[:, 0] - np.asarray(pre.velocity)[:, 0])
+    m = 20.0 * np.asarray([9.0 * 3.0, 3.0 * 1.5])
+    # momentum: m0*dv0 == m1*dv1 -> dv ratio == inverse mass ratio
+    np.testing.assert_allclose(dv[0] / dv[1], m[1] / m[0], rtol=0.05)
+
+
+def test_kinematic_body_is_an_immovable_wall():
+    pre = _bodies([[0.0, 0.0], [4.8, 0.0]], [0.0, 0.0], [10.0, 0.0])
+    out = _solve(pre, pre, [5.0, 5.0], [2.0, 2.0], [True, False], [False, True])
+    v = np.asarray(out.velocity)[:, 0]
+    assert abs(v[1]) < 1e-6, "kinematic body must not move"
+    assert v[0] < 1e-3, "dynamic body stopped by the wall"
+
+
+def test_separating_bodies_unaffected():
+    """Overlap but already separating: accumulated normal impulse clamps at
+    zero — no sticky 'glue' force (Box2D semantics)."""
+    pre = _bodies([[0.0, 0.0], [4.5, 0.0]], [0.0, 0.0], [-3.0, 3.0])
+    pre = pre._replace(
+        velocity=jnp.asarray([[-3.0, 0.0], [3.0, 0.0]], jnp.float32)
+    )
+    out = _solve(pre, pre, [5.0, 5.0], [2.0, 2.0], [True, True])
+    np.testing.assert_allclose(
+        np.asarray(out.velocity), np.asarray(pre.velocity), atol=1e-5
+    )
+
+
+def test_non_touching_pass_through_solver_unchanged():
+    pre = _bodies([[0.0, 0.0], [50.0, 0.0]], [0.0, 0.0], [5.0, 5.0])
+    out = _solve(pre, pre, [5.0, 5.0], [2.0, 2.0], [True, True])
+    np.testing.assert_allclose(
+        np.asarray(out.position),
+        np.asarray(pre.position) + 0.1 * np.asarray(pre.velocity),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.velocity), np.asarray(pre.velocity), atol=1e-6
+    )
+
+
+def test_position_correction_reduces_overlap():
+    """Deep static overlap shrinks under the Baumgarte pass even with zero
+    velocities."""
+    pre = _bodies([[0.0, 0.0], [4.0, 0.0]], [0.0, 0.0], [0.0, 0.0])
+    out = _solve(pre, pre, [5.0, 5.0], [2.0, 2.0], [True, True])
+    gap = np.asarray(out.position)[1, 0] - np.asarray(out.position)[0, 0]
+    assert gap > 4.0 + 1e-4, "bodies pushed apart"
+
+
+def test_flag_off_is_bitwise_unchanged():
+    """sim.resolve_contacts=False must leave the env step exactly as before."""
+    cfg = Config()
+    assert cfg.sim.resolve_contacts is False
+    sc = stack_scenarios(
+        [synthetic_scenario(cfg, seed=0, num_agents=4)], cfg
+    )
+    env_off = WaymoEnv(cfg)
+    state = env_off.reset(sc)
+    A = state.alive.shape[1]
+    acc = jnp.full((1, A), 0.3)
+    steer = jnp.full((1, A), 0.05)
+    zeros = jnp.zeros((1, A), bool)
+    ns_off, _ = jax.jit(
+        lambda s: env_off.step(sc, s, acc, steer, zeros, s.alive)
+    )(state)
+    # and the contacts path on a non-overlapping scene equals the off path
+    import dataclasses
+
+    cfg_on = dataclasses.replace(
+        cfg, sim=dataclasses.replace(cfg.sim, resolve_contacts=True)
+    )
+    env_on = WaymoEnv(cfg_on)
+    ns_on, _ = jax.jit(
+        lambda s: env_on.step(sc, s, acc, steer, zeros, s.alive)
+    )(state)
+    if not bool(jnp.any(ns_off.veh_veh_collision)):
+        np.testing.assert_allclose(
+            np.asarray(ns_on.bodies.position),
+            np.asarray(ns_off.bodies.position),
+            atol=1e-6,
+        )
+
+
+def test_dead_agents_do_not_interact_at_sentinel():
+    """Dead agents pinned at (-1e6, -1e6) overlap each other; the dynamic
+    mask excludes them, so live bodies see no impulses."""
+    pre = _bodies(
+        [[-1e6, -1e6], [-1e6, -1e6], [0.0, 0.0]], [0.0, 0.0, 0.0], [0.0, 0.0, 5.0]
+    )
+    out = _solve(
+        pre, pre, [5.0, 5.0, 5.0], [2.0, 2.0, 2.0], [False, False, True]
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.velocity)[2], np.asarray(pre.velocity)[2], atol=1e-6
+    )
+
+
+def test_deviation_quantified_head_on():
+    """The VERDICT item-8 number: after a head-on contact, how far does the
+    no-contact trajectory drift from the contact-resolved one?  With contacts
+    the cars stop at the crash site; without, they drive through — by 1 s the
+    gap is >4 m and growing linearly. This is the materiality evidence for
+    COMPONENTS.md."""
+    pre = _bodies([[0.0, 0.0], [6.0, 0.0]], [0.0, np.pi], [5.0, 5.0])
+    L = jnp.asarray([5.0, 5.0])
+    W = jnp.asarray([2.0, 2.0])
+    dyn = jnp.asarray([True, True])
+    kin = jnp.zeros(2, bool)
+    dt = 0.1
+
+    def roll(use_contacts, steps=20):
+        b = pre
+        traj = [np.asarray(b.position)]
+        for _ in range(steps):
+            prop = b._replace(position=b.position + b.velocity * dt)
+            if use_contacts:
+                b = resolve_contacts(b, prop, L, W, dyn, kin, dt)
+            else:
+                b = prop
+            traj.append(np.asarray(b.position))
+        return np.stack(traj)
+
+    with_c = roll(True)
+    without = roll(False)
+    drift = np.linalg.norm(with_c - without, axis=-1).max(-1)  # [T+1]
+    assert drift[-1] > 4.0, f"post-contact drift should be material: {drift[-1]}"
+    # and the contact run keeps the cars separated while the no-contact run
+    # drives them through each other
+    gap_c = with_c[-1, 1, 0] - with_c[-1, 0, 0]
+    gap_n = without[-1, 1, 0] - without[-1, 0, 0]
+    assert gap_c > 4.5, "contact-resolved cars stay apart"
+    assert gap_n < -4.0, "no-contact cars pass through"

@@ -1,5 +1,22 @@
 """Microbenchmark the fused decode-attention kernel on TPU with ablated
-bodies, to locate its cost (DMA vs MXU dots vs softmax VPU passes).
+bodies, to locate its cost (DMA vs MXU dots vs softmax VPU passes) and to
+race candidate optimizations.
+
+The kernel is VPU-bound: per head the body runs ~5 elementwise/reduce passes
+over the [Q, N] score matrix (bias add, max, sub+exp2, sum, cast-to-bf16),
+while the dots are tiny for the MXU and the K/V DMA is ~184 us/call ideal at
+B=64. Candidates measured here:
+
+- nomax      : drop the running-max pass. Scores arrive in log2 units
+               (q pre-scaled by log2(e)/sqrt(d)); a static offset -C in the
+               mask bias keeps exp2 in range for |score| bounds far beyond
+               anything LayerNorm'd activations produce (see ops/attention.py
+               for the bound argument).
+- denomdot   : fold the softmax denominator into the MXU by appending a ones
+               column to V — the [Q, N] sum reduce becomes a free extra MXU
+               output column (d 32 -> 33 of a 128-wide systolic pass).
+- fp32av     : skip the e -> bf16 cast pass; run the AV dot in fp32.
+- allheads   : single batched dot_general over all heads (dispatch overhead).
 
 Usage (TPU env): PYTHONPATH=/root/.axon_site:. python tools/kernel_microbench.py
 """
@@ -7,6 +24,7 @@ Usage (TPU env): PYTHONPATH=/root/.axon_site:. python tools/kernel_microbench.py
 from __future__ import annotations
 
 import functools
+import sys
 import time
 
 import jax
@@ -18,9 +36,11 @@ from jax.experimental.pallas import tpu as pltpu
 B, Q, N, H, HEADS = 64, 48, 2304, 256, 8
 D = H // HEADS
 REPS = 200
+_C = 32.0  # static exp2 offset for the no-max variants
 
 
 def body_full(q, k, v, mask, o_ref):
+    """Round-1 shipped body: bias add, max, sub+exp2, sum, cast, 2 dots."""
     bias = (1.0 - mask.astype(jnp.float32)) * -1e30
     for h in range(HEADS):
         sl = slice(h * D, (h + 1) * D)
@@ -35,6 +55,76 @@ def body_full(q, k, v, mask, o_ref):
             jnp.dot(e.astype(v.dtype), v[:, sl], preferred_element_type=jnp.float32)
             / den
         ).astype(o_ref.dtype)
+
+
+def body_nomax(q, k, v, mask, o_ref):
+    # evaluated as ((m*1e30) - 1e30) - C: mask=1 -> -C, mask=0 -> -1e30.
+    # (1e30 + C) would round to 1e30 in fp32, collapsing the offset.
+    bias = (mask.astype(jnp.float32) * 1e30 - 1e30) - _C
+    for h in range(HEADS):
+        sl = slice(h * D, (h + 1) * D)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        e = jnp.exp2(s + bias)
+        den = jnp.sum(e, -1, keepdims=True)
+        o_ref[:, sl] = (
+            jnp.dot(e.astype(v.dtype), v[:, sl], preferred_element_type=jnp.float32)
+            / den
+        ).astype(o_ref.dtype)
+
+
+def body_nomax_denomdot(q, k, v, mask, o_ref):
+    bias = (mask.astype(jnp.float32) * 1e30 - 1e30) - _C
+    ones = jnp.ones((N, 1), v.dtype)
+    for h in range(HEADS):
+        sl = slice(h * D, (h + 1) * D)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        e = jnp.exp2(s + bias).astype(v.dtype)
+        va = jnp.concatenate([v[:, sl], ones], axis=1)  # [N, D+1]
+        r = jnp.dot(e, va, preferred_element_type=jnp.float32)
+        o_ref[:, sl] = (r[:, :D] / r[:, D:]).astype(o_ref.dtype)
+
+
+def body_nomax_fp32av(q, k, v, mask, o_ref):
+    bias = (mask.astype(jnp.float32) * 1e30 - 1e30) - _C
+    for h in range(HEADS):
+        sl = slice(h * D, (h + 1) * D)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        e = jnp.exp2(s + bias)
+        den = jnp.sum(e, -1, keepdims=True)
+        o_ref[:, sl] = (
+            jnp.dot(
+                e, v[:, sl].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            / den
+        ).astype(o_ref.dtype)
+
+
+def body_allheads(q, k, v, mask, o_ref):
+    """One batched QK dot + one batched AV dot over [HEADS, ., .]."""
+    bias = (mask.astype(jnp.float32) * 1e30 - 1e30) - _C
+    qh = q.reshape(Q, HEADS, D)  # head axis stays in place: batch dim in the dot
+    kh = k.reshape(N, HEADS, D)
+    vh = v.reshape(N, HEADS, D)
+    s = jax.lax.dot_general(
+        qh, kh, (((2,), (2,)), ((1,), (1,))), preferred_element_type=jnp.float32
+    )  # [h, Q, N]
+    e = jnp.exp2(s + bias[None])
+    den = jnp.sum(e, -1, keepdims=True)
+    o = jax.lax.dot_general(
+        e.astype(v.dtype), vh, (((2,), (0,)), ((0,), (1,))),
+        preferred_element_type=jnp.float32,
+    ) / den  # [h, Q, D]
+    o_ref[:, :] = o.transpose(1, 0, 2).reshape(Q, H).astype(o_ref.dtype)
 
 
 def body_no_softmax(q, k, v, mask, o_ref):
@@ -58,9 +148,63 @@ def body_dma_only(q, k, v, mask, o_ref):
     o_ref[:, :] = jnp.broadcast_to(acc[None, :], o_ref.shape).astype(o_ref.dtype)
 
 
-def run(body, name):
-    def kern(q_ref, k_ref, v_ref, mask_ref, o_ref):
-        body(q_ref[0], k_ref[0], v_ref[0], mask_ref[:], o_ref.at[0])
+def body_q8(q, k_i8, v_i8, ks, vs, mask, o_ref):
+    """int8 cache read: per-token scales fold into scores / weights
+    (ops/attention.py _attn_body_q8). k_i8/v_i8 are int8 [N, H];
+    ks/vs fp32 [1, N]."""
+    bias = (1.0 - mask.astype(jnp.float32)) * -1e30
+    kf = k_i8.astype(jnp.bfloat16)
+    vf = v_i8.astype(jnp.bfloat16)
+    for h in range(HEADS):
+        sl = slice(h * D, (h + 1) * D)
+        s = jax.lax.dot_general(
+            q[:, sl], kf[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * ks + bias
+        m = jnp.max(s, -1, keepdims=True)
+        e = jnp.exp2(s - m)
+        den = jnp.sum(e, -1, keepdims=True)
+        wv = (e * vs).astype(jnp.bfloat16)
+        o_ref[:, sl] = (
+            jnp.dot(wv, vf[:, sl], preferred_element_type=jnp.float32) / den
+        ).astype(o_ref.dtype)
+
+
+def body_fp8(q, k8, v8, mask, o_ref):
+    """fp8(e4m3) cache read: direct cast, no scales. Halves the DMA like
+    int8 but drops the two [Q, N]-adjacent scale passes."""
+    bias = (1.0 - mask.astype(jnp.float32)) * -1e30
+    kf = k8.astype(jnp.bfloat16)
+    vf = v8.astype(jnp.bfloat16)
+    for h in range(HEADS):
+        sl = slice(h * D, (h + 1) * D)
+        s = jax.lax.dot_general(
+            q[:, sl], kf[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bias
+        m = jnp.max(s, -1, keepdims=True)
+        e = jnp.exp2(s - m)
+        den = jnp.sum(e, -1, keepdims=True)
+        o_ref[:, sl] = (
+            jnp.dot(e.astype(jnp.bfloat16), vf[:, sl],
+                    preferred_element_type=jnp.float32) / den
+        ).astype(o_ref.dtype)
+
+
+def run_cache_dtype(name, kv_dtype, with_scales):
+    """Race a quantized-cache read kernel at B programs."""
+    if with_scales:
+        def kern(q_ref, k_ref, v_ref, ks_ref, vs_ref, mask_ref, o_ref):
+            body_q8(q_ref[0], k_ref[0], v_ref[0], ks_ref[0], vs_ref[0],
+                    mask_ref[:], o_ref.at[0])
+        extra_specs = [
+            pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ]
+    else:
+        def kern(q_ref, k_ref, v_ref, mask_ref, o_ref):
+            body_fp8(q_ref[0], k_ref[0], v_ref[0], mask_ref[:], o_ref.at[0])
+        extra_specs = []
 
     f = pl.pallas_call(
         kern,
@@ -69,10 +213,59 @@ def run(body, name):
             pl.BlockSpec((1, Q, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            *extra_specs,
             pl.BlockSpec((Q, N), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, Q, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Q, H), jnp.bfloat16),
+    )
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, Q, H)), jnp.bfloat16)
+    kq = jnp.asarray(rng.integers(-127, 127, size=(B, N, H)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 127, size=(B, N, H)), jnp.int8)
+    if kv_dtype != jnp.int8:
+        kq = kq.astype(jnp.bfloat16).astype(kv_dtype)
+        vq = vq.astype(jnp.bfloat16).astype(kv_dtype)
+    ks = jnp.asarray(rng.random((B, 1, N)) * 0.01 + 0.001, jnp.float32)
+    vs = jnp.asarray(rng.random((B, 1, N)) * 0.01 + 0.001, jnp.float32)
+    mask = jnp.asarray(rng.random((Q, N)) > 0.3, jnp.int8)
+    args = (q, kq, vq, ks, vs, mask) if with_scales else (q, kq, vq, mask)
+
+    @jax.jit
+    def many(*a):
+        def step(c, _):
+            o = f(a[0] + c.astype(jnp.bfloat16) * 0, *a[1:])
+            return c + 1, o[0, 0, 0]
+        c, ys = jax.lax.scan(step, jnp.asarray(0, jnp.int32), None, length=REPS)
+        return ys
+
+    out = many(*args)
+    float(np.asarray(out).sum())
+    t0 = time.time()
+    out = many(*args)
+    s = float(np.asarray(out).sum())
+    dt = time.time() - t0
+    per_call = dt / REPS * 1e6
+    gbps = (2 * N * H * B) / (dt / REPS) / 1e9  # 1 byte/elem now
+    print(f"{name:20s} B={B:3d} {per_call:8.1f} us/call   K+V read {gbps:7.1f} GB/s   (checksum {s:.1f})")
+
+
+def run(body, name, batch=B, check_against=None):
+    def kern(q_ref, k_ref, v_ref, mask_ref, o_ref):
+        body(q_ref[0], k_ref[0], v_ref[0], mask_ref[:], o_ref.at[0])
+
+    f = pl.pallas_call(
+        kern,
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec((1, Q, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, N), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Q, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, Q, H), jnp.bfloat16),
     )
 
     @jax.jit
@@ -85,9 +278,9 @@ def run(body, name):
         return ys
 
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.normal(size=(B, Q, H)), jnp.bfloat16)
-    k = jnp.asarray(rng.normal(size=(B, N, H)), jnp.bfloat16)
-    v = jnp.asarray(rng.normal(size=(B, N, H)), jnp.bfloat16)
+    q = jnp.asarray(rng.normal(size=(batch, Q, H)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(batch, N, H)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(batch, N, H)), jnp.bfloat16)
     mask = jnp.asarray(rng.random((Q, N)) > 0.3, jnp.int8)
 
     out = many(q, k, v, mask)
@@ -97,21 +290,22 @@ def run(body, name):
     s = float(np.asarray(out).sum())
     dt = time.time() - t0
     per_call = dt / REPS * 1e6
-    gbps = (2 * N * H * 2 * B) / (dt / REPS) / 1e9
-    print(f"{name:16s} {per_call:8.1f} us/call   K+V read {gbps:7.1f} GB/s   (checksum {s:.1f})")
-
-
-if __name__ == "__main__":
-    print(f"B={B} Q={Q} N={N} H={H} heads={HEADS}, {REPS} reps under one jit")
-    run(body_dma_only, "dma_only")
-    run(body_no_softmax, "no_softmax")
-    run(body_full, "full")
-
+    gbps = (2 * N * H * 2 * batch) / (dt / REPS) / 1e9
+    err = ""
+    if check_against is not None:
+        ref = np.asarray(jax.jit(lambda q, k, v, m: f(q, k, v, m))(q, k, v, mask))
+        mx = np.abs(ref.astype(np.float32) - check_against).max()
+        err = f"   max|d| vs full {mx:.4f}"
+    print(
+        f"{name:20s} B={batch:3d} {per_call:8.1f} us/call   "
+        f"K+V read {gbps:7.1f} GB/s   (checksum {s:.1f}){err}"
+    )
+    return f, (q, k, v, mask)
 
 
 def run_split(nsplit, name):
     """dma_only with the K/V read split over a 2D grid (B, nsplit) —
-    does more outstanding block copies raise effective bandwidth?"""
+    do more outstanding block copies raise effective bandwidth?"""
     def kern(q_ref, k_ref, v_ref, o_ref):
         acc = jnp.sum(k_ref[0].astype(jnp.float32), axis=0) + jnp.sum(
             v_ref[0].astype(jnp.float32), axis=0
@@ -153,10 +347,39 @@ def run_split(nsplit, name):
     dt = time.time() - t0
     per_call = dt / REPS * 1e6
     gbps = (2 * N * H * 2 * B) / (dt / REPS) / 1e9
-    print(f"{name:16s} {per_call:8.1f} us/call   K+V read {gbps:7.1f} GB/s")
+    print(f"{name:20s} B={B:3d} {per_call:8.1f} us/call   K+V read {gbps:7.1f} GB/s")
+
+
+def main():
+    which = sys.argv[1:] or ["sweep"]
+    print(f"Q={Q} N={N} H={H} heads={HEADS}, {REPS} reps under one jit")
+    if "sweep" in which:
+        run(body_dma_only, "dma_only")
+        run(body_no_softmax, "no_softmax")
+        f_full, args = run(body_full, "full")
+        ref = np.asarray(
+            jax.jit(lambda q, k, v, m: f_full(q, k, v, m))(*args)
+        ).astype(np.float32)
+        run(body_nomax, "nomax", check_against=ref)
+        run(body_nomax_denomdot, "nomax_denomdot", check_against=ref)
+        run(body_nomax_fp32av, "nomax_fp32av", check_against=ref)
+        # body_allheads is unbuildable: Mosaic requires dot batch dims at
+        # position 0, and hoisting heads to axis 0 costs full K/V transposes
+    if "batch" in which:
+        for b in (64, 128, 256):
+            run(body_full, "full", batch=b)
+    if "quant" in which:
+        run(body_dma_only, "dma_only_bf16")
+        run_cache_dtype("q8_scales", jnp.int8, True)
+        try:
+            run_cache_dtype("fp8_e4m3", jnp.float8_e4m3fn, False)
+        except Exception as e:
+            print(f"fp8_e4m3 failed: {type(e).__name__}: {str(e)[:200]}")
+    if "split" in which:
+        run_split(1, "dma_split1")
+        run_split(2, "dma_split2")
+        run_split(4, "dma_split4")
 
 
 if __name__ == "__main__":
-    run_split(2, "dma_split2")
-    run_split(4, "dma_split4")
-    run_split(8, "dma_split8")
+    main()

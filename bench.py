@@ -51,8 +51,15 @@ def main() -> None:
     total_envs = int(os.environ.get("BENCH_ENVS", "1024"))
     chunk = int(os.environ.get("BENCH_CHUNK", "64" if mode == "streaming" else "32"))
     kv_dtype = os.environ.get("BENCH_KV", "bfloat16")  # bfloat16 | int8
+    # deployment-throughput config: bf16 cross-attention scores (halves the
+    # cross-attn HBM traffic; reductions stay f32, ~0.5% relative rounding on
+    # attention weights — models/layers.py). BENCH_XSCORE=float32 for the
+    # bit-parity configuration.
+    xscore = os.environ.get("BENCH_XSCORE", "bfloat16")
 
-    cfg = load_config({"model.kv_cache_dtype": kv_dtype})
+    cfg = load_config(
+        {"model.kv_cache_dtype": kv_dtype, "model.cross_score_dtype": xscore}
+    )
     steps = cfg.sim.steps
 
     # one chunk of synthetic scenes, reused for every chunk (same shapes; the
@@ -130,7 +137,7 @@ def main() -> None:
         "unit": "env-steps/s/chip",
         "vs_baseline": round(eps / 100_000.0, 4),
         "detail": {
-            "mode": mode,
+            "mode": mode, "cross_score_dtype": xscore,
             "kv_dtype": kv_dtype,
             "envs": n_chunks * chunk,
             "chunk": chunk,

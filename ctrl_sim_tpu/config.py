@@ -220,6 +220,12 @@ class ModelConfig:
     # (per-token symmetric quantization — halves the cache HBM traffic that
     # dominates rollout time; scales stay fp32, softmax/accumulation fp32)
     kv_cache_dtype: str = "bfloat16"
+    # dtype of the materialized cross-attention score matrix in the
+    # streaming/einsum path (models/layers.py): float32 = exact (default);
+    # bfloat16 halves the dominant cross-attn HBM traffic in rollout at
+    # ~0.5%-relative attention-weight rounding (accumulation/softmax
+    # reductions stay f32). A perf deployment knob, off for parity evals.
+    cross_score_dtype: str = "float32"
     # fused Pallas decode attention in the streaming rollout (TPU only;
     # avoids the per-head cache re-layout in HBM)
     use_pallas_attention: bool = True

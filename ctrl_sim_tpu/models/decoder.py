@@ -112,7 +112,9 @@ class Decoder(nn.Module):
             layer_cls(
                 mc.num_heads, mc.dim_feedforward, mc.dropout, dtype,
                 d_model=mc.hidden_dim, flash_block_q=mc.flash_block_q,
-                flash_interpret=mc.flash_interpret, name=f"decoder_layer_{i}",
+                flash_interpret=mc.flash_interpret,
+                cross_score_dtype=jnp.dtype(mc.cross_score_dtype),
+                name=f"decoder_layer_{i}",
             )
             for i in range(mc.num_decoder_layers)
         ]

@@ -69,6 +69,13 @@ class MultiHeadAttention(nn.Module):
     d_model: int | None = None  # required (setup-style submodules)
     flash_block_q: int = 128
     flash_interpret: bool = False
+    # dtype of the materialized [B, H, Tq, Tk] score matrix in the einsum
+    # path. float32 = exact (default). bfloat16 halves the score-matrix HBM
+    # traffic (the rollout cross-attention was ~13% of device step time at
+    # 256 lanes, bounded by these f32 round trips); accumulation stays f32
+    # inside the MXU, softmax max/sum stay f32 — only the stored scores and
+    # the exp outputs are rounded (~0.5% relative on the weights).
+    score_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         if self.d_model is None:
@@ -134,15 +141,19 @@ class MultiHeadAttention(nn.Module):
         head_dim = d_model // self.num_heads
         B, Tq, _ = q.shape
         Tk = k.shape[1]
+        # scale folded into q: one [B, Tq, D] multiply instead of a full
+        # [B, H, Tq, Tk] pass over the scores
+        q = q * jnp.asarray(1.0 / jnp.sqrt(head_dim), q.dtype)
         q = q.reshape(B, Tq, self.num_heads, head_dim)
         k = k.reshape(B, Tk, self.num_heads, head_dim)
         v = v.reshape(B, Tk, self.num_heads, head_dim)
 
+        sd = jnp.dtype(self.score_dtype)
         scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(head_dim).astype(jnp.float32)
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=sd
+        )
 
-        neg = jnp.finfo(jnp.float32).min
+        neg = jnp.finfo(sd).min
         if mask is not None:
             m = mask
             while m.ndim < 4:
@@ -151,7 +162,16 @@ class MultiHeadAttention(nn.Module):
         if key_padding_mask is not None:
             scores = jnp.where(key_padding_mask[:, None, None, :], scores, neg)
 
-        weights = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        if sd == jnp.float32:
+            weights = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        else:
+            # low-precision scores: keep the reductions in f32 but round the
+            # stored exp outputs, so every [B, H, Tq, Tk] round trip moves
+            # half the bytes
+            mx = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp((scores - mx).astype(jnp.float32)).astype(sd)
+            den = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+            weights = (e / den.astype(sd)).astype(self.dtype)
         if self.dropout > 0.0 and not deterministic:
             weights = self.attn_dropout(weights, deterministic=False)
         out = jnp.einsum(
@@ -205,6 +225,7 @@ class TransformerDecoderLayer(nn.Module):
     d_model: int | None = None
     flash_block_q: int = 128
     flash_interpret: bool = False
+    cross_score_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         if self.d_model is None:
@@ -215,7 +236,8 @@ class TransformerDecoderLayer(nn.Module):
             flash_interpret=self.flash_interpret,
         )
         self.cross_attn = MultiHeadAttention(
-            self.num_heads, self.dtype, self.dropout, d_model=self.d_model
+            self.num_heads, self.dtype, self.dropout, d_model=self.d_model,
+            score_dtype=self.cross_score_dtype,
         )
         self.linear1 = _dense(self.dim_feedforward, self.dtype)
         self.linear2 = _dense(self.d_model, self.dtype)

@@ -15,6 +15,33 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def categorical_invcdf(rng: Array, logits: Array) -> Array:
+    """Categorical sample over the last axis via inverse-CDF (one uniform
+    per distribution + exp/cumsum/count). Identical distribution to
+    ``jax.random.categorical``: P(i) = (cum_i - cum_{i-1}) / cum_{K-1}
+    = softmax(logits)_i.
+
+    MEASURED NEGATIVE RESULT on TPU v5e, kept for the record: 8x SLOWER than
+    gumbel sampling (2453 us vs 294 us on [64, 24, 1000]) — ``jnp.cumsum``
+    lowers to a log-width ladder of shifted adds, costing far more than the
+    per-logit threefry + argmax it saves. The rollout samplers therefore use
+    ``jax.random.categorical``. Retained for CPU-side tooling and as the
+    distributional test oracle (tests/test_sampling.py).
+
+    All-masked rows (every logit -inf/-1e30) sample *uniformly* (the max
+    subtraction makes them all-equal) — same as softmax semantics; callers
+    discard those rows via existence masks.
+    """
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    z = jnp.exp2((logits - m) * 1.4426950408889634)  # native exp2, no /sum
+    cum = jnp.cumsum(z, axis=-1)
+    u = jax.random.uniform(
+        rng, logits.shape[:-1] + (1,), dtype=cum.dtype
+    )
+    # u*total in [0, total): count of cdf entries strictly below the draw
+    return jnp.sum(cum < u * cum[..., -1:], axis=-1).astype(jnp.int32)
+
+
 def sample_tilted_rtgs(
     rng: Array,
     rtg_logits: Array,  # [..., num_bins, 3]

@@ -245,3 +245,34 @@ class TestSignedDistance:
             jnp.asarray(xys), jnp.asarray(polys), jnp.asarray(valids)
         )
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_obb_segment_hits_matches_corner_form():
+    """The support-function rectangle-vs-segment path (the env collision hot
+    path) must agree with the general corner-based predicate everywhere,
+    including degenerate segments and near-touching configurations."""
+    import numpy as np
+    from ctrl_sim_tpu.geometry import (
+        obb_corners,
+        obb_segment_hits,
+        obb_segment_intersects,
+    )
+
+    rng = np.random.default_rng(0)
+    A, S = 32, 200
+    pos = jnp.asarray(rng.uniform(-20, 20, (A, 2)), jnp.float32)
+    hd = jnp.asarray(rng.uniform(-np.pi, np.pi, A), jnp.float32)
+    ln = jnp.asarray(rng.uniform(1.0, 8.0, A), jnp.float32)
+    wd = jnp.asarray(rng.uniform(0.5, 3.0, A), jnp.float32)
+    p0 = jnp.asarray(rng.uniform(-25, 25, (S, 2)), jnp.float32)
+    p1 = jnp.asarray(rng.uniform(-25, 25, (S, 2)), jnp.float32)
+    # degenerate segments + exact-duplicate endpoints sprinkled in
+    p1 = p1.at[:20].set(p0[:20])
+    corners = obb_corners(pos, hd, ln, wd)
+    ref = obb_segment_intersects(corners[:, None], p0[None, :], p1[None, :])
+    fast = obb_segment_hits(pos, hd, ln, wd, p0, p1)
+    ref_n, fast_n = np.asarray(ref), np.asarray(fast)
+    # fp reassociation can flip exact-boundary cases; none exist in this
+    # random draw, so demand equality
+    np.testing.assert_array_equal(fast_n, ref_n)
+    assert ref_n.any() and not ref_n.all()

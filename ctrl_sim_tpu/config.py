@@ -77,9 +77,11 @@ class SimConfig:
     dynamics: str = "physics"
     # Box2D-style impulse contact resolution between vehicles
     # (env/contacts.py; PhysicsSimulation.cpp:16-25 b2World::Step(dt, 8, 3)).
-    # Off by default: the collision-as-reward contract (env/dynamics.py);
-    # switch on for closest reference parity of post-collision trajectories.
-    resolve_contacts: bool = False
+    # ON by default: the reference always simulates contacts (every vehicle
+    # is physics_simulated, evaluators/evaluator.py:33-41), and the solver is
+    # pinned to executed Box2D streams (tests/test_physics_goldens.py).
+    # Switching off is a perf knob for pure collision-as-reward rollouts.
+    resolve_contacts: bool = True
     max_agents: int = 24  # padded agent axis of the batched env
     max_road_edge_segments: int = 1024  # padded road-edge segment soup
     rewards: RewardConfig = field(default_factory=RewardConfig)
@@ -351,11 +353,20 @@ class EvalConfig:
     num_files_to_evaluate: int = 1000
     eval_mode: str = "multi_agent"  # one_agent | two_agent | multi_agent
     # rollout execution mode:
-    #   'streaming' — fixed normalization frame + incremental KV-cached decode
-    #                 (TPU speed-of-light path)
     #   'exact'     — re-normalized sliding window recomputed each step
-    #                 (reference-parity path, policy_evaluator.py:514-542)
-    rollout_mode: str = "streaming"
+    #                 (reference-parity path, policy_evaluator.py:514-542);
+    #                 coherent with the default window-anchored training
+    #                 frames (dataset.py:390-428)
+    #   'streaming' — fixed normalization frame + incremental KV-cached
+    #                 decode (the TPU speed-of-light path). Requires a model
+    #                 trained with waymo.episode_start_normalization=True so
+    #                 train and eval see the same frames; the evaluator
+    #                 refuses a mismatched pairing unless
+    #                 allow_normalization_mismatch is set.
+    rollout_mode: str = "exact"
+    # acknowledge (instead of refuse) evaluating a window-normalized
+    # checkpoint in streaming mode — a train/eval distribution mismatch
+    allow_normalization_mismatch: bool = False
 
 
 # ---------------------------------------------------------------------------

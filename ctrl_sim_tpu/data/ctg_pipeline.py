@@ -126,7 +126,35 @@ def select_agent_roads(
     max_polylines: int,
 ) -> tuple[Array, Array]:
     """Per-agent top-K road crops (select_indiv_agent_roads, :120-141):
-    keep the K polylines whose farthest valid point is nearest the agent."""
+    keep the K polylines whose farthest valid point is nearest the agent.
+
+    The reference branches on the *unpadded* polyline count: no sorting when
+    it already fits the cap (order preserved, zero/-1 padding). The static
+    shape P plays that role here: P <= max_polylines takes the no-sort
+    branch exactly; a padded P > max_polylines with fewer real polylines
+    sorts them by distance — a permutation of the reference's output, benign
+    because the road tokens are consumed by permutation-invariant attention
+    pooling."""
+    A = anchor_pos.shape[0]
+    P = road_points.shape[0]
+    if P <= max_polylines:
+        pad = max_polylines - P
+        rp = jnp.broadcast_to(
+            road_points[None], (A,) + road_points.shape
+        )
+        rt = jnp.broadcast_to(road_types[None], (A,) + road_types.shape)
+        rp = rp * road_valid[None, :, None, None]
+        rt = jnp.where(road_valid[None, :, None], rt, -1.0)
+        if pad:
+            rp = jnp.concatenate(
+                [rp, jnp.zeros((A, pad) + road_points.shape[1:], rp.dtype)], axis=1
+            )
+            rt = jnp.concatenate(
+                [rt, -jnp.ones((A, pad, road_types.shape[-1]), rt.dtype)], axis=1
+            )
+        rp = rp.at[..., -1].set(rp[..., -1] * anchor_exist[:, None, None])
+        rt = rt * anchor_exist[:, None, None]
+        return rp, rt
     dist = jnp.linalg.norm(
         road_points[None, :, :, :2] - anchor_pos[:, None, None, :], axis=-1
     )  # [A, P, L]

@@ -32,9 +32,12 @@ velocities, then overlap is corrected. ``resolve_contacts`` therefore takes
 the pre-step poses plus the FreeCar-proposed velocities and returns the
 re-integrated bodies.
 
-Enabled with ``sim.resolve_contacts`` (default off: the collision-as-reward
-contract documented in env/dynamics.py). tools/contact_deviation.py
-quantifies the with/without trajectory drift; numbers in COMPONENTS.md.
+Enabled with ``sim.resolve_contacts`` (default ON — the reference always
+simulates contacts). The solver is pinned against EXECUTED Box2D collision
+streams in tests/test_physics_goldens.py (head-on 0.01 m / t-bone 0.42 m
+final deviation vs 14-19 m if contacts were ignored); solver-internal
+invariants (momentum, inelasticity) live in tests/test_contacts.py, with
+deviation numbers in COMPONENTS.md.
 """
 
 from __future__ import annotations

@@ -36,6 +36,7 @@ def main(argv: list[str] | None = None) -> None:
                    metavar=("GOAL", "VEH", "EDGE"))
     p.add_argument("--adversary_tilt", nargs=3, type=float, default=[0.0, -10.0, 0.0],
                    metavar=("GOAL", "VEH", "EDGE"))
+    p.add_argument("--out", default=None, help="write the metrics JSON here")
     args = p.parse_args(argv)
 
     cfg = preset(args.preset)
@@ -71,6 +72,11 @@ def main(argv: list[str] | None = None) -> None:
     )
     metrics = evaluator.evaluate(scenes)
     print(json.dumps(metrics, indent=2))
+    if args.out:
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(metrics, f, indent=2)
+        print(f"[eval] wrote {args.out}")
 
 
 if __name__ == "__main__":

@@ -32,6 +32,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--limit_files", type=int, default=None)
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--lane_batch", type=int, default=32)
+    p.add_argument("--out", default=None, help="write the metrics JSON here")
     args = p.parse_args(argv)
 
     cfg = preset(args.preset)
@@ -59,6 +60,24 @@ def main(argv: list[str] | None = None) -> None:
     model = trainer.model
     state = trainer.init_state(jax.random.PRNGKey(0), sample)
     if args.ckpt:
+        # the checkpoint's snapshotted config records the training
+        # normalization frame; it, not the eval-time flag, defines the
+        # distribution the model was trained on
+        try:
+            train_cfg = CheckpointManager.load_config(args.ckpt)
+            trained_esn = bool(
+                train_cfg.get("waymo", {}).get("episode_start_normalization", False)
+            )
+            if trained_esn != cfg.waymo.episode_start_normalization:
+                raise SystemExit(
+                    f"checkpoint {args.ckpt} was trained with "
+                    f"waymo.episode_start_normalization={trained_esn} but the "
+                    f"eval config sets {cfg.waymo.episode_start_normalization}"
+                    " — pass the matching -o waymo.episode_start_normalization"
+                    " override (the streaming rollout requires True)."
+                )
+        except FileNotFoundError:
+            print("[eval] warning: checkpoint has no config.json snapshot")
         mgr = CheckpointManager(cfg, args.ckpt)
         state = mgr.restore(state)
         print(f"[eval] restored step {int(state.step)} from {args.ckpt}")
@@ -66,6 +85,11 @@ def main(argv: list[str] | None = None) -> None:
     evaluator = PolicyEvaluator(cfg, model, state.params, lane_batch=args.lane_batch)
     metrics = evaluator.evaluate(scenes)
     print(json.dumps(metrics, indent=2))
+    if args.out:
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(metrics, f, indent=2)
+        print(f"[eval] wrote {args.out}")
 
 
 if __name__ == "__main__":

@@ -122,6 +122,22 @@ class PolicyEvaluator:
                 lambda sb, p, c, r, g: run_ctg_closed_loop(cfg, model, p, sb, c, r)
             )
         else:
+            if (
+                cfg.eval.rollout_mode == "streaming"
+                and not cfg.waymo.episode_start_normalization
+                and not cfg.eval.allow_normalization_mismatch
+            ):
+                raise ValueError(
+                    "eval.rollout_mode='streaming' evaluates with an "
+                    "episode-start normalization frame, but this config "
+                    "trains with window-anchored frames "
+                    "(waymo.episode_start_normalization=False) — the model "
+                    "would see a different input distribution than it was "
+                    "trained on. Either train/evaluate with "
+                    "waymo.episode_start_normalization=True, use "
+                    "eval.rollout_mode='exact', or acknowledge the mismatch "
+                    "with eval.allow_normalization_mismatch=True."
+                )
             run_fn = (
                 run_streaming
                 if cfg.eval.rollout_mode == "streaming"

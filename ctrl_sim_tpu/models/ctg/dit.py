@@ -27,6 +27,7 @@ from ctrl_sim_tpu.models.layers import (
     MultiHeadAttention,
     TransformerEncoderLayer,
     _dense,
+    layer_norm,
 )
 
 Array = jax.Array
@@ -63,10 +64,10 @@ class SingleInputEmbedding(nn.Module):
     def __call__(self, x: Array) -> Array:
         for _ in range(2):
             x = _dense(self.out_dim, self.dtype)(x)
-            x = nn.LayerNorm(dtype=self.dtype)(x)
+            x = layer_norm(self.dtype)(x)
             x = nn.relu(x)
         x = _dense(self.out_dim, self.dtype)(x)
-        return nn.LayerNorm(dtype=self.dtype)(x)
+        return layer_norm(self.dtype)(x)
 
 
 class RelativeSocialAttention(nn.Module):
@@ -139,7 +140,7 @@ class RelativeSocialAttention(nn.Module):
             out = nn.Dropout(rate=self.dropout)(out, deterministic=False)
         x = x + out
 
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = layer_norm(self.dtype, "norm1")(x)
         h = _dense(self.dim_feedforward, self.dtype, name="mlp_lin1")(h)
         h = nn.relu(h)
         if self.dropout > 0.0 and not deterministic:
@@ -147,7 +148,7 @@ class RelativeSocialAttention(nn.Module):
         h = _dense(d_model, self.dtype, name="mlp_lin2")(h)
         if self.dropout > 0.0 and not deterministic:
             h = nn.Dropout(rate=self.dropout)(h, deterministic=False)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + h)
+        return layer_norm(self.dtype, "norm2")(x + h)
 
 
 class MapEncoderPtsMA(nn.Module):
@@ -193,13 +194,13 @@ class MapEncoderPtsMA(nn.Module):
             key_padding_mask=point_valid.reshape(B * M * S, P),
             deterministic=deterministic,
         )
-        pooled = nn.LayerNorm(dtype=dtype, name="norm1")(pooled)
+        pooled = layer_norm(dtype, "norm1")(pooled)
         ff = _dense(H * 3, dtype, name="map_feats_lin1")(pooled)
         ff = nn.relu(ff)
         if mc.dropout > 0.0 and not deterministic:
             ff = nn.Dropout(rate=mc.dropout)(ff, deterministic=False)
         ff = _dense(H, dtype, name="map_feats_lin2")(ff)
-        pooled = nn.LayerNorm(dtype=dtype, name="norm2")(pooled + ff)
+        pooled = layer_norm(dtype, "norm2")(pooled + ff)
         pooled = pooled.reshape(B, M, S, H)
 
         type_emb = _dense(H, dtype, name="road_type_lin")(road_types.astype(dtype))

@@ -27,6 +27,7 @@ from ctrl_sim_tpu.models.layers import (
     MLPLayer,
     TransformerEncoderLayer,
     _dense,
+    layer_norm,
 )
 from ctrl_sim_tpu.models.map_encoder import MapEncoder
 
@@ -65,7 +66,7 @@ class Encoder(nn.Module):
         self.embed_rtg = _dense(H, dtype)
         self.embed_timestep = Embed(wc.max_timestep, H, dtype)
         self.embed_agent_id = Embed(wc.max_num_agents, H, dtype)
-        self.embed_ln = nn.LayerNorm(dtype=dtype)
+        self.embed_ln = layer_norm(dtype)
         self.encoder_layers = [
             TransformerEncoderLayer(
                 mc.num_heads, mc.dim_feedforward, mc.dropout, dtype,

@@ -23,6 +23,13 @@ Array = jax.Array
 
 XAVIER = nn.initializers.xavier_uniform()
 EMBED_INIT = nn.initializers.normal(stddev=0.02)
+# torch nn.LayerNorm default eps (the reference's modules all use it);
+# flax's default 1e-6 drifts ~1e-3 on transplant-parity logits
+LN_EPS = 1e-5
+
+
+def layer_norm(dtype, name: str | None = None) -> nn.LayerNorm:
+    return nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name=name)
 
 
 def _dense(features: int, dtype, name: str | None = None) -> nn.Dense:
@@ -45,7 +52,7 @@ class MLPLayer(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         x = _dense(self.hidden_dim, self.dtype)(x)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = layer_norm(self.dtype)(x)
         x = nn.relu(x)
         return _dense(self.output_dim, self.dtype)(x)
 
@@ -201,7 +208,7 @@ class TransformerEncoderLayer(nn.Module):
         )(src, src, src, key_padding_mask=key_padding_mask, deterministic=deterministic)
         if self.dropout > 0.0 and not deterministic:
             attn = nn.Dropout(rate=self.dropout)(attn, deterministic=False)
-        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src + attn)
+        src = layer_norm(self.dtype, "norm1")(src + attn)
 
         ff = _dense(self.dim_feedforward, self.dtype, name="linear1")(src)
         ff = nn.relu(ff)
@@ -210,7 +217,7 @@ class TransformerEncoderLayer(nn.Module):
         ff = _dense(src.shape[-1], self.dtype, name="linear2")(ff)
         if self.dropout > 0.0 and not deterministic:
             ff = nn.Dropout(rate=self.dropout)(ff, deterministic=False)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src + ff)
+        return layer_norm(self.dtype, "norm2")(src + ff)
 
 
 class TransformerDecoderLayer(nn.Module):
@@ -241,9 +248,9 @@ class TransformerDecoderLayer(nn.Module):
         )
         self.linear1 = _dense(self.dim_feedforward, self.dtype)
         self.linear2 = _dense(self.d_model, self.dtype)
-        self.norm1 = nn.LayerNorm(dtype=self.dtype)
-        self.norm2 = nn.LayerNorm(dtype=self.dtype)
-        self.norm3 = nn.LayerNorm(dtype=self.dtype)
+        self.norm1 = layer_norm(self.dtype)
+        self.norm2 = layer_norm(self.dtype)
+        self.norm3 = layer_norm(self.dtype)
         self.drop = nn.Dropout(rate=self.dropout)
 
     def _after_self_attn(

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ctrl_sim_tpu.config import Config
-from ctrl_sim_tpu.models.layers import MLPLayer, MultiHeadAttention
+from ctrl_sim_tpu.models.layers import MLPLayer, MultiHeadAttention, layer_norm
 
 Array = jax.Array
 
@@ -58,9 +58,9 @@ class MapEncoder(nn.Module):
             key_padding_mask=point_valid.reshape(B * P, L),
             deterministic=deterministic,
         )  # [B*P, 1, H]
-        pooled = nn.LayerNorm(dtype=dtype, name="norm1")(pooled)
+        pooled = layer_norm(dtype, "norm1")(pooled)
         pooled = pooled + MLPLayer(H, H, dtype=dtype, name="map_feats")(pooled)
-        pooled = nn.LayerNorm(dtype=dtype, name="norm2")(pooled)
+        pooled = layer_norm(dtype, "norm2")(pooled)
 
         type_feat = MLPLayer(H, H, dtype=dtype, name="road_type_encoder")(
             road_types.astype(dtype)

@@ -21,6 +21,11 @@ CFG = load_config(
     {
         "sim.steps": 20,
         "sim.max_agents": 6,
+        # pass-through collisions for the BITWISE batched==single property:
+        # the contact solver's pair reductions tile differently at E=4 vs
+        # E=1, so with contacts on the guarantee is allclose, not bitwise
+        # (covered by test_batched_equals_single_with_contacts)
+        "sim.resolve_contacts": False,
         "waymo.max_num_agents": 6,
         "waymo.max_num_road_polylines": 16,
         "waymo.max_num_road_pts_per_polyline": 20,
@@ -54,6 +59,29 @@ def test_batched_equals_single():
         )
         np.testing.assert_array_equal(
             np.asarray(batched.actions[i]), np.asarray(single.actions[0])
+        )
+
+
+def test_batched_equals_single_with_contacts():
+    """With the contact solver on (the default), batched == single up to
+    reduction-order noise."""
+    cfg = CFG.replace(sim=dataclasses.replace(CFG.sim, resolve_contacts=True))
+    scenes = [
+        synthetic_scenario(cfg, seed=s, num_agents=5, arena_half=80.0)
+        for s in range(4)
+    ]
+    replay = jax.jit(lambda s: generate_offline_data(cfg, s))
+
+    batched = replay(_to_dev(stack_scenarios(scenes, cfg)))
+    for i, scene in enumerate(scenes):
+        single = replay(_to_dev(stack_scenarios([scene], cfg)))
+        np.testing.assert_allclose(
+            np.asarray(batched.states[i]), np.asarray(single.states[0]),
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched.rewards8[i]), np.asarray(single.rewards8[0]),
+            atol=1e-4,
         )
 
 

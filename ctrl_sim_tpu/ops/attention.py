@@ -9,31 +9,9 @@ its native [N, H] layout, split heads with *static VMEM slices*, and fuse
 mask + softmax + weighted sum — HBM traffic drops to the unavoidable single
 read of K and V.
 
-The kernel is VPU-bound, not DMA-bound (349 us/call vs a 184 us DMA ideal at
-the round-2 softmax), so the [Q, N] elementwise passes per head are the
-cost. The softmax is therefore restructured to the minimum pass count:
-
-- q arrives PRE-SCALED by (1/sqrt(d)) * log2(e), so scores are in log2
-  units and feed ``exp2`` (the TPU's native transcendental) directly;
-- NO max-subtraction pass: scores are clamped at +100 (log2) and shifted by
-  an additive bias that is -inf on masked pairs — exp2 then yields exact
-  zeros for masked keys and can never overflow f32 (2^100 * N < f32 max).
-  Real logits live far below the clamp (LayerNorm-bounded QK), so the
-  clamp never binds outside pathological inputs; rows whose true max
-  underflows (all keys masked) are handled below;
-- the softmax weights are written once, in **bfloat16** — halving the bytes
-  of every subsequent pass over [Q, N] (~0.4% relative rounding on the
-  weights, fp32 accumulation everywhere);
-- the denominator is reduced from the bf16 weights in fp32 and divides the
-  [Q, d] output, never the [Q, N] weights;
-- fully-masked rows (the t = -1 query groups at episode start) produce
-  denom = 0 -> output exactly 0 via the max(denom, tiny) guard. Their
-  outputs are discarded by the caller, but they MUST stay finite: later
-  layers project cache K/V from these rows, and a NaN there would poison
-  every subsequent softmax denominator.
-
-Per-head VPU traffic over [Q, N] drops from ~5 f32 passes (bias add, max,
-exp, sum, cast) to 1 f32 write + 1.5 mixed passes.
+Matmuls run in the input dtype (bf16 in rollout) with fp32 accumulation
+(`preferred_element_type`): upcasting K/V to fp32 before the dot both halves
+MXU throughput and doubles VMEM pressure. Softmax stays fp32.
 
 Per-lane working set at full size (N = 32*3*24 = 2304, H = 256, bf16):
 q 12-24 KB + K/V 2.4 MB + scores 0.9 MB — comfortably inside VMEM, so the
@@ -65,52 +43,56 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-# log2-unit clamp on scores: exp2(100) ~ 1.3e30, times N=2304 stays finite
-# in the f32 denominator; real LayerNorm-bounded logits never reach it.
-_SCORE_CLAMP = 100.0
-_DENOM_FLOOR = 1e-30
+_MASK_NEG = -1e30  # exp2 of (x + _MASK_NEG) underflows to exactly 0
 
 
-def _attn_body(num_heads: int, q, k, v, bias, o_ref):
-    """q [Q, H] attends k/v [N, H] under additive bias [Q, N] (bf16,
-    -inf = masked, 0 = attend). q is pre-scaled by (1/sqrt(d)) * log2(e)."""
+def _attn_body(num_heads: int, q, k, v, mask, o_ref):
+    """q [Q, H] attends k/v [N, H] under boolean/int8 mask [Q, N].
+
+    The kernel is VPU-bound (the [Q, N] softmax passes dominate, not the
+    MXU dots or the DMA), so every elementwise pass over [Q, N] counts:
+
+    - q arrives PRE-SCALED by (1/sqrt(d)) * log2(e) (see the wrappers), so
+      scores feed exp2 directly — no per-head scale pass, and exp2 is the
+      TPU's native transcendental (exp lowers to exp2 + a multiply pass);
+    - the mask bias is computed once, reused by all heads (arithmetic form:
+      Mosaic cannot relayout i1 vectors against scalar where-branches);
+    - the softmax denominator divides the [Q, d] output, not the [Q, N]
+      weights.
+
+    Fully-masked rows (t = -1 query groups at episode start) come out
+    uniform-over-N and finite — their outputs are discarded by the caller.
+    """
     H = q.shape[-1]
     head_dim = H // num_heads
+    bias = (1.0 - mask.astype(jnp.float32)) * _MASK_NEG
 
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         qh = q[:, sl]  # [Q, d] — static VMEM slice, no relayout
         kh = k[:, sl]  # [N, d]
         vh = v[:, sl]
-        scores = jax.lax.dot_general(
-            qh, kh,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [Q, N] fp32, log2 units
-        e = jnp.exp2(
-            jnp.minimum(scores, _SCORE_CLAMP) + bias.astype(jnp.float32)
-        ).astype(v.dtype)  # bf16 weights: halves every later [Q, N] pass
-        denom = jnp.sum(
-            e.astype(jnp.float32), axis=-1, keepdims=True
-        )  # [Q, 1]
+        scores = (
+            jax.lax.dot_general(
+                qh, kh,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bias
+        )  # [Q, N] fp32, already in log2 units
+        m = jnp.max(scores, axis=-1, keepdims=True)  # [Q, 1]
+        e = jnp.exp2(scores - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)  # [Q, 1]
         out_h = jnp.dot(
-            e, vh, preferred_element_type=jnp.float32
-        ) / jnp.maximum(denom, _DENOM_FLOOR)
+            e.astype(v.dtype), vh, preferred_element_type=jnp.float32
+        ) / denom
         o_ref[:, sl] = out_h.astype(o_ref.dtype)
 
 
-def _decode_kernel(num_heads, q_ref, k_ref, v_ref, bias_ref, o_ref):
+def _decode_kernel(num_heads, q_ref, k_ref, v_ref, mask_ref, o_ref):
     # BlockSpec with leading 1-block gives refs shaped [1, Q, H] etc.
     _attn_body(
-        num_heads, q_ref[0], k_ref[0], v_ref[0], bias_ref[:], o_ref.at[0]
-    )
-
-
-def _mask_bias(mask: Array) -> Array:
-    """[Q, N] boolean -> additive bf16 bias: 0 where True, -inf where False
-    (computed once in XLA, fused; shared by every head and layer call)."""
-    return jnp.where(
-        mask, jnp.bfloat16(0), -jnp.inf * jnp.ones((), jnp.bfloat16)
+        num_heads, q_ref[0], k_ref[0], v_ref[0], mask_ref[:], o_ref.at[0]
     )
 
 
@@ -126,7 +108,7 @@ def cached_decode_attention(
     """Fused masked multi-head attention over a decode cache."""
     B, Q, H = q.shape
     N = k.shape[1]
-    bias = _mask_bias(mask)
+    mask_i8 = mask.astype(jnp.int8)
     # pre-scale q outside the kernel (XLA fuses this into the projection):
     # 1/sqrt(d) for attention scaling, log2(e) so the kernel softmax runs on
     # exp2 — saves two [Q, N] passes per head in the VPU-bound kernel
@@ -146,44 +128,47 @@ def cached_decode_attention(
         out_specs=pl.BlockSpec((1, Q, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Q, H), q.dtype),
         interpret=interpret,
-    )(q, k, v, bias)
+    )(q, k, v, mask_i8)
     return out
 
 
-def _attn_body_q8(num_heads, q, k_i8, v_i8, k_scale, v_scale, bias, o_ref):
+def _attn_body_q8(num_heads, q, k_i8, v_i8, k_scale, v_scale, mask, o_ref):
     """Quantized-cache variant: k/v are int8 [N, H] with fp32 row scales
     [1, N]. The K scale folds into the score row-scale (q . (k*s) =
-    (q . k) * s) inside the exp2 input pass, the V scale into the bf16
-    weight write — the matmuls run on raw int8 values cast to the compute
-    dtype (exact: |x| <= 127). Same no-max softmax as _attn_body."""
+    (q . k) * s), the V scale into the softmax weights — so the matmuls run
+    on the raw int8 values cast to the compute dtype (exact: |x| <= 127).
+    q arrives pre-scaled by (1/sqrt(d)) * log2(e), as in _attn_body."""
     H = q.shape[-1]
     head_dim = H // num_heads
+    bias = (1.0 - mask.astype(jnp.float32)) * _MASK_NEG
     kf = k_i8.astype(q.dtype)
     vf = v_i8.astype(q.dtype)
 
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        scores = jax.lax.dot_general(
-            q[:, sl], kf[:, sl],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [Q, N] raw int-space scores (log2 units after k_scale)
-        e = jnp.exp2(
-            jnp.minimum(scores * k_scale, _SCORE_CLAMP)
-            + bias.astype(jnp.float32)
-        )
-        wv = (e * v_scale).astype(q.dtype)  # bf16 weights, V scale folded in
+        scores = (
+            jax.lax.dot_general(
+                q[:, sl], kf[:, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * k_scale
+            + bias
+        )  # log2 units
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp2(scores - m)
         denom = jnp.sum(e, axis=-1, keepdims=True)
+        wv = (e * v_scale).astype(q.dtype)
         out_h = jnp.dot(
             wv, vf[:, sl], preferred_element_type=jnp.float32
-        ) / jnp.maximum(denom, _DENOM_FLOOR)
+        ) / denom
         o_ref[:, sl] = out_h.astype(o_ref.dtype)
 
 
-def _decode_kernel_q8(num_heads, q_ref, k_ref, v_ref, ks_ref, vs_ref, bias_ref, o_ref):
+def _decode_kernel_q8(num_heads, q_ref, k_ref, v_ref, ks_ref, vs_ref, mask_ref, o_ref):
     _attn_body_q8(
         num_heads, q_ref[0], k_ref[0], v_ref[0], ks_ref[0], vs_ref[0],
-        bias_ref[:], o_ref.at[0],
+        mask_ref[:], o_ref.at[0],
     )
 
 
@@ -201,7 +186,7 @@ def cached_decode_attention_q8(
     """Fused masked multi-head attention over an int8-quantized cache."""
     B, Q, H = q.shape
     N = k.shape[1]
-    bias = _mask_bias(mask)
+    mask_i8 = mask.astype(jnp.int8)
     head_dim = H // num_heads
     q = q * jnp.asarray(1.4426950408889634 / (head_dim ** 0.5), q.dtype)
     ks = k_scale[:, None, :]  # [B, 1, N] — trailing block dims must tile
@@ -222,7 +207,7 @@ def cached_decode_attention_q8(
         out_specs=pl.BlockSpec((1, Q, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Q, H), q.dtype),
         interpret=interpret,
-    )(q, k, v, ks, vs, bias)
+    )(q, k, v, ks, vs, mask_i8)
     return out
 
 

@@ -132,9 +132,14 @@ def test_position_correction_reduces_overlap():
 
 
 def test_flag_off_is_bitwise_unchanged():
-    """sim.resolve_contacts=False must leave the env step exactly as before."""
+    """sim.resolve_contacts=False must leave the env step exactly as the
+    pass-through path (the default has been True since round 3 — the
+    reference always simulates contacts)."""
+    import dataclasses as _dc
+
     cfg = Config()
-    assert cfg.sim.resolve_contacts is False
+    assert cfg.sim.resolve_contacts is True  # reference-parity default
+    cfg = _dc.replace(cfg, sim=_dc.replace(cfg.sim, resolve_contacts=False))
     sc = stack_scenarios(
         [synthetic_scenario(cfg, seed=0, num_agents=4)], cfg
     )

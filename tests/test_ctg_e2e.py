@@ -24,6 +24,8 @@ from ctrl_sim_tpu.data.store import ScenarioStore
 from ctrl_sim_tpu.evals.evaluator import PolicyEvaluator
 from ctrl_sim_tpu.training import CTGTrainer
 
+pytestmark = pytest.mark.slow  # CLI smoke + trainer e2e: ~200 s
+
 SMALL = {
     "model.hidden_dim": 16,
     "model.dim_feedforward": 32,

@@ -5,6 +5,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ctrl_sim_tpu.config import _set_dotted, preset
 from ctrl_sim_tpu.data import synthetic_scenario, stack_scenarios
@@ -35,6 +36,7 @@ SMALL = {
 }
 
 
+@pytest.mark.slow  # diffusion closed loop ~100 s
 def test_ctg_rollout_runs():
     cfg = preset("ctg_plus_plus")
     for k, v in SMALL.items():

@@ -167,6 +167,7 @@ def cfg_and_batch():
     return cfg, batch
 
 
+@pytest.mark.slow  # full-model compile ~135 s
 def test_model_flash_matches_dense(cfg_and_batch):
     cfg, batch = cfg_and_batch
     dense_cfg = load_config({**SMALL, "model.use_flash_attention": False})

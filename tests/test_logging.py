@@ -6,6 +6,7 @@ import json
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ctrl_sim_tpu.utils.logging import MetricsLogger, grad_norms
 
@@ -43,6 +44,7 @@ def test_grad_norms_payload():
     assert gn["grad_2.0_norm_total"] == np.sqrt(12.0)
 
 
+@pytest.mark.slow  # train CLI ~100 s
 def test_train_cli_writes_metrics_and_grad_norms(tmp_path):
     from ctrl_sim_tpu.train import main
 

@@ -30,6 +30,8 @@ from ctrl_sim_tpu.rollout.groups import (
 from ctrl_sim_tpu.rollout.rollout import run_closed_loop
 from ctrl_sim_tpu.rollout.streaming import run_streaming
 
+pytestmark = pytest.mark.slow  # multi-group rollouts: ~3 min incl. fixture
+
 SMALL = {
     "model.hidden_dim": 32,
     "model.dim_feedforward": 64,

@@ -86,3 +86,42 @@ def test_ego_state_and_flattened():
         assert np.all(np.diff(d) >= -1e-5)
     # invalid rows zeroed
     assert np.allclose(feats[~valid_rows], 0.0)
+
+
+def test_observation_replay_stream():
+    """observation_replay: the product consumer of WaymoEnv.observe — a
+    jitted GT-replay scan emitting the fixed-shape observation stream."""
+    import dataclasses
+
+    import jax
+
+    from ctrl_sim_tpu.config import load_config
+    from ctrl_sim_tpu.data import stack_scenarios, synthetic_scenario
+    from ctrl_sim_tpu.data.scenario import Scenario
+    from ctrl_sim_tpu.env.gym import observation_replay
+
+    cfg = load_config({
+        "sim.steps": 10, "sim.max_agents": 5,
+        "waymo.max_num_agents": 5,
+        "waymo.max_num_road_polylines": 12,
+        "waymo.max_num_road_pts_per_polyline": 20,
+    })
+    scenes = [synthetic_scenario(cfg, seed=s, num_agents=4, arena_half=40.0,
+              num_lanes=2) for s in range(2)]
+    d = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+         for k, v in dataclasses.asdict(stack_scenarios(scenes, cfg)).items()}
+    d["name"] = ""
+    sb = Scenario(**d)
+
+    ego = jnp.zeros(2, jnp.int32)
+    obs, traj = jax.jit(
+        lambda s, e: observation_replay(cfg, s, e, max_visible_objects=4)
+    )(sb, ego)
+
+    assert obs["ego_state"].shape == (10, 2, 5)
+    assert obs["visible_objects"].shape == (10, 2, 4, 8)
+    assert obs["visible_mask"].shape == (10, 2, 5)
+    assert np.isfinite(np.asarray(obs["ego_state"])).all()
+    assert np.isfinite(np.asarray(traj["position"])).all()
+    # the ego always sees itself excluded but some neighbor at t=0
+    assert np.asarray(obs["visible_mask"])[0].sum() > 0

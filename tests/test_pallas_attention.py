@@ -39,9 +39,7 @@ def test_decode_kernel_matches_reference_interpret():
 
     out = cached_decode_attention(q, k, v, mask, heads, interpret=True)
     want = _reference(q, k, v, mask, heads)
-    # the kernel stores softmax weights in bf16 (the VPU-pass optimization):
-    # ~0.4% relative on the weights; accumulation stays f32
-    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=6e-3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
 
 
 def test_decode_kernel_fully_masked_rows_finite():
@@ -57,8 +55,6 @@ def test_decode_kernel_fully_masked_rows_finite():
 
     out = np.asarray(cached_decode_attention(q, k, v, mask, heads, interpret=True))
     assert np.isfinite(out).all()
-    # no-max softmax: fully-masked rows are exactly zero (denom floor)
-    np.testing.assert_array_equal(out[:, :4], 0.0)
 
 
 def test_decode_kernel_q8_matches_dequantized_reference():
@@ -81,7 +77,7 @@ def test_decode_kernel_q8_matches_dequantized_reference():
     k_dq = k_i8.astype(jnp.float32) * ks[..., None]
     v_dq = v_i8.astype(jnp.float32) * vs[..., None]
     want = _reference(q, k_dq, v_dq, mask, heads)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=6e-3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-4)
     # and the quantized result stays close to the unquantized attention
     want_fp = _reference(q, k, v, mask, heads)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want_fp), atol=0.05)

@@ -18,6 +18,8 @@ from ctrl_sim_tpu.evals.cat import make_adversarial_scenario, polyline_vel, poly
 from ctrl_sim_tpu.evals.planner_adversary import PlannerAdversaryEvaluator
 from ctrl_sim_tpu.models.ctrl_sim import CtRLSim
 
+pytestmark = pytest.mark.slow  # closed-loop two-policy eval: ~2 min
+
 SMALL = {
     "model.hidden_dim": 32,
     "model.dim_feedforward": 64,

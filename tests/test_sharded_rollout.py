@@ -7,6 +7,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ctrl_sim_tpu.config import load_config
@@ -37,6 +38,7 @@ CFG = load_config(
 )
 
 
+@pytest.mark.slow  # 8-device rollout ~87 s
 def test_rollout_shards_over_env_axis():
     cfg = CFG
     assert len(jax.devices()) == 8

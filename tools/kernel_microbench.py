@@ -109,6 +109,44 @@ def body_nomax_fp32av(q, k, v, mask, o_ref):
         ).astype(o_ref.dtype)
 
 
+def body_shipped_r3(q, k, v, mask, o_ref):
+    """The round-3 shipped body (ops/attention.py): no max, clamp + additive
+    -inf bias, bf16 softmax weights, f32 denominator from the bf16 weights."""
+    # arithmetic bias: Mosaic cannot relayout i1 vectors in a where
+    bias = mask.astype(jnp.float32) * 1e30 - 1e30
+    for h in range(HEADS):
+        sl = slice(h * D, (h + 1) * D)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        e = jnp.exp2(jnp.minimum(s, 100.0) + bias).astype(v.dtype)
+        den = jnp.sum(e.astype(jnp.float32), -1, keepdims=True)
+        o_ref[:, sl] = (
+            jnp.dot(e, v[:, sl], preferred_element_type=jnp.float32)
+            / jnp.maximum(den, 1e-30)
+        ).astype(o_ref.dtype)
+
+
+def body_maxfree_denomdot(q, k, v, mask, o_ref):
+    """No max + bf16 weights + denominator folded into the AV dot as a ones
+    column (no separate [Q, N] reduce pass at all)."""
+    bias = mask.astype(jnp.float32) * 1e30 - 1e30
+    ones = jnp.ones((N, 8), v.dtype)  # 8-wide: sublane-aligned denom columns
+    for h in range(HEADS):
+        sl = slice(h * D, (h + 1) * D)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        e = jnp.exp2(jnp.minimum(s, 100.0) + bias).astype(v.dtype)
+        va = jnp.concatenate([v[:, sl], ones], axis=1)  # [N, D+8]
+        r = jnp.dot(e, va, preferred_element_type=jnp.float32)
+        o_ref[:, sl] = (
+            r[:, :D] / jnp.maximum(r[:, D : D + 1], 1e-30)
+        ).astype(o_ref.dtype)
+
+
 def body_allheads(q, k, v, mask, o_ref):
     """One batched QK dot + one batched AV dot over [HEADS, ., .]."""
     bias = (mask.astype(jnp.float32) * 1e30 - 1e30) - _C
@@ -350,6 +388,96 @@ def run_split(nsplit, name):
     print(f"{name:20s} B={B:3d} {per_call:8.1f} us/call   K+V read {gbps:7.1f} GB/s")
 
 
+def run_flash(nsplit, name, check_against=None):
+    """Flash-decode grid (B, nsplit): each program reads an N/nsplit slab of
+    K/V, accumulates un-normalized AV partials + denominators in VMEM
+    scratch (exact without a running max — the clamp bounds exp2), and the
+    last slab normalizes. Smaller DMA blocks -> deeper pipelining."""
+    Nc = N // nsplit
+
+    def kern(q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, den_ref):
+        n = pl.program_id(1)
+
+        @pl.when(n == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            den_ref[...] = jnp.zeros_like(den_ref)
+
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        bias = bias_ref[...]  # [Q, Nc] f32
+        for h in range(HEADS):
+            sl = slice(h * D, (h + 1) * D)
+            s = jax.lax.dot_general(
+                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            e = jnp.exp2(jnp.minimum(s, 100.0) + bias).astype(v.dtype)
+            acc_ref[:, sl] += jnp.dot(
+                e, v[:, sl], preferred_element_type=jnp.float32
+            )
+            den_ref[h, :] += jnp.sum(e.astype(jnp.float32), axis=-1)
+
+        @pl.when(n == nsplit - 1)
+        def _final():
+            for h in range(HEADS):
+                sl = slice(h * D, (h + 1) * D)
+                o_ref[0, :, sl] = (
+                    acc_ref[:, sl]
+                    / jnp.maximum(den_ref[h, :], 1e-30)[:, None]
+                ).astype(o_ref.dtype)
+
+    f = pl.pallas_call(
+        kern,
+        grid=(B, nsplit),
+        in_specs=[
+            pl.BlockSpec((1, Q, H), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nc, H), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nc, H), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, Nc), lambda b, n: (0, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Q, H), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Q, H), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((Q, H), jnp.float32),
+            pltpu.VMEM((HEADS, Q), jnp.float32),
+        ],
+    )
+
+    @jax.jit
+    def many(q, k, v, bias):
+        def step(c, _):
+            o = f(q + c.astype(jnp.bfloat16) * 0, k, v, bias)
+            return c + 1, o[0, 0, 0]
+
+        c, ys = jax.lax.scan(step, jnp.asarray(0, jnp.int32), None, length=REPS)
+        return ys
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, Q, H)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, N, H)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, N, H)), jnp.bfloat16)
+    mask = rng.random((Q, N)) > 0.3
+    bias = jnp.asarray(np.where(mask, 0.0, -1e30), jnp.float32)
+    out = many(q, k, v, bias)
+    float(np.asarray(out).sum())
+    t0 = time.time()
+    out = many(q, k, v, bias)
+    s_ = float(np.asarray(out).sum())
+    dt = time.time() - t0
+    per_call = dt / REPS * 1e6
+    gbps = (2 * N * H * 2 * B) / (dt / REPS) / 1e9
+    err = ""
+    if check_against is not None:
+        got = np.asarray(
+            jax.jit(lambda *a: f(*a))(q, k, v, bias)
+        ).astype(np.float32)
+        err = f"   max|d| vs full {np.abs(got - check_against).max():.4f}"
+    print(f"{name:20s} B={B:3d} {per_call:8.1f} us/call   "
+          f"K+V read {gbps:7.1f} GB/s   (checksum {s_:.1f}){err}")
+
+
 def main():
     which = sys.argv[1:] or ["sweep"]
     print(f"Q={Q} N={N} H={H} heads={HEADS}, {REPS} reps under one jit")
@@ -379,6 +507,16 @@ def main():
         run_split(1, "dma_split1")
         run_split(2, "dma_split2")
         run_split(4, "dma_split4")
+    if "r3" in which:
+        f_full, args = run(body_full, "full")
+        ref = np.asarray(
+            jax.jit(lambda q, k, v, m: f_full(q, k, v, m))(*args)
+        ).astype(np.float32)
+        run(body_shipped_r3, "shipped_r3", check_against=ref)
+        run(body_maxfree_denomdot, "maxfree_denomdot", check_against=ref)
+        run_flash(2, "flash2", check_against=ref)
+        run_flash(4, "flash4", check_against=ref)
+        run_flash(8, "flash8", check_against=ref)
 
 
 if __name__ == "__main__":

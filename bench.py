@@ -49,7 +49,15 @@ def main() -> None:
 
     mode = os.environ.get("BENCH_MODE", "streaming")
     total_envs = int(os.environ.get("BENCH_ENVS", "1024"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "64" if mode == "streaming" else "32"))
+    # chunk (lanes per jitted call): swept 64/128/256 in round 3 — 128 is
+    # the knee (+4% over 64); 256 collapses 4.5x (XLA pathology at that
+    # batch, BENCH_NOTES) and compiles >40 min on the remote compiler
+    chunk = int(os.environ.get("BENCH_CHUNK", "128" if mode == "streaming" else "32"))
+    # scene realism knobs: default 12 agents / 4 lanes matches rounds 1-2;
+    # BENCH_AGENTS=24 fills every model slot, BENCH_LANES raises the
+    # road-edge segment count the collision/reward path scans
+    bench_agents = int(os.environ.get("BENCH_AGENTS", "12"))
+    bench_lanes = int(os.environ.get("BENCH_LANES", "4"))
     kv_dtype = os.environ.get("BENCH_KV", "bfloat16")  # bfloat16 | int8
     # deployment-throughput config: bf16 cross-attention scores (halves the
     # cross-attn HBM traffic; reductions stay f32, ~0.5% relative rounding on
@@ -66,7 +74,10 @@ def main() -> None:
     # timing is shape-driven, content-independent)
     print(f"[bench] building {chunk} scenarios ...", file=sys.stderr)
     scenes = [
-        synthetic_scenario(cfg, seed=s, num_agents=12, arena_half=300.0)
+        synthetic_scenario(
+            cfg, seed=s, num_agents=bench_agents, arena_half=300.0,
+            num_lanes=bench_lanes,
+        )
         for s in range(chunk)
     ]
     sb = stack_scenarios(scenes, cfg)
@@ -141,6 +152,8 @@ def main() -> None:
             "kv_dtype": kv_dtype,
             "envs": n_chunks * chunk,
             "chunk": chunk,
+            "agents": bench_agents,
+            "lanes": bench_lanes,
             "steps": steps,
             "elapsed_s": round(elapsed, 2),
             "compile_s": round(compile_s, 1),

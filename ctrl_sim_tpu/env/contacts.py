@@ -34,10 +34,11 @@ re-integrated bodies.
 
 Enabled with ``sim.resolve_contacts`` (default ON — the reference always
 simulates contacts). The solver is pinned against EXECUTED Box2D collision
-streams in tests/test_physics_goldens.py (head-on 0.01 m / t-bone 0.42 m
-final deviation vs 14-19 m if contacts were ignored); solver-internal
-invariants (momentum, inelasticity) live in tests/test_contacts.py, with
-deviation numbers in COMPONENTS.md.
+streams in tests/test_physics_goldens.py (head-on 0.010 m / t-bone 0.97 m
+final deviation vs 14-19 m if contacts were ignored — the t-bone bound
+reflects the point-parallel Jacobi + frozen-correction-geometry speedups
+below); solver-internal invariants (momentum, inelasticity) live in
+tests/test_contacts.py, with deviation numbers in COMPONENTS.md.
 """
 
 from __future__ import annotations
@@ -103,11 +104,17 @@ def _contact_geometry(
     )  # [A, A, 4]
 
     touching = jnp.all(overlap > 0.0, axis=-1)
-    kmin = jnp.argmin(overlap, axis=-1)  # [A, A]
-    depth = jnp.take_along_axis(overlap, kmin[..., None], axis=-1)[..., 0]
-    normal = jnp.take_along_axis(
-        axes, kmin[..., None, None], axis=2
-    )[..., 0, :]  # [A, A, 2]
+    # min-overlap axis via one-hot select: argsort/argmin + take_along_axis
+    # gathers lowered pathologically on TPU inside the rollout scan (the
+    # contact path measured 59x slower than the pass-through env; batched
+    # 4-wide sorts + dynamic gathers were the cost)
+    depth = jnp.min(overlap, axis=-1)  # [A, A]
+    kidx = jnp.arange(4)
+    is_min = overlap == depth[..., None]  # [A, A, 4] (>=1 True)
+    # first minimum wins (argmin tie-breaking): mask out later duplicates
+    first_min = is_min & (jnp.cumsum(is_min, axis=-1) == 1)
+    kmin = jnp.sum(first_min * kidx, axis=-1)  # [A, A]
+    normal = jnp.sum(axes * first_min[..., None], axis=2)  # [A, A, 2]
     # orient from i toward j
     d_ij = position[None, :] - position[:, None]  # [A, A, 2]
     flip = jnp.sum(normal * d_ij, axis=-1) < 0.0
@@ -125,9 +132,22 @@ def _contact_geometry(
     # incident = i sinks along +n
     proj_inc = jnp.einsum("ijcm,ijm->ijc", inc_corners, normal)  # [A, A, 4]
     key = jnp.where(inc_is_j[..., None], proj_inc, -proj_inc)
-    order = jnp.argsort(key, axis=-1)  # two smallest = the incident face
-    deepest2 = jnp.take_along_axis(
-        inc_corners, order[..., :2, None], axis=2
+    # two smallest of the 4 corner keys, sort-free: rank by pairwise
+    # comparison with index tie-breaks (argsort is stable), then one-hot
+    # select — same values as argsort(key)[..., :2] without the TPU sort
+    lt = (key[..., :, None] > key[..., None, :]) | (
+        (key[..., :, None] == key[..., None, :])
+        & (kidx[:, None] > kidx[None, :])
+    )  # [A, A, 4, 4]: key[c'] sorts before key[c]
+    rank = jnp.sum(lt, axis=-1)  # [A, A, 4] in 0..3
+    sel0 = (rank == 0)[..., None]
+    sel1 = (rank == 1)[..., None]
+    deepest2 = jnp.stack(
+        [
+            jnp.sum(inc_corners * sel0, axis=2),
+            jnp.sum(inc_corners * sel1, axis=2),
+        ],
+        axis=2,
     )  # [A, A, 2, 2]
 
     # clamp the incident face to the reference box's tangent extent
@@ -174,58 +194,70 @@ def _solve_velocities(
     kn = jnp.where(kn > 0.0, kn, 1.0)
     kt = jnp.where(kt > 0.0, kt, 1.0)
 
-    def apply_point(v, w, p, imp_n_delta, imp_t_delta):
-        # impulse P[i,j] at point p acts +P on j, -P on i
-        P = imp_n_delta[..., None] * normal + imp_t_delta[..., None] * tangent
+    def apply_points(v, w, imp_n_delta, imp_t_delta):
+        # impulse P[i,j,p] acts +P on j, -P on i; both points applied at once
+        P = (
+            imp_n_delta[..., None] * n_p + imp_t_delta[..., None] * t_p
+        )  # [A, A, P, 2]
+        Ps = jnp.sum(P, axis=2)  # summed over the manifold points
         dv = (
-            jnp.sum(P, axis=0) * inv_m[:, None]  # body as j
-            - jnp.sum(P, axis=1) * inv_m[:, None]  # body as i
+            jnp.sum(Ps, axis=0) * inv_m[:, None]  # body as j
+            - jnp.sum(Ps, axis=1) * inv_m[:, None]  # body as i
         )
         dw = (
-            jnp.sum(_cross2(r_j[:, :, p], P), axis=0)
-            - jnp.sum(_cross2(r_i[:, :, p], P), axis=1)
+            jnp.sum(_cross2(r_j, P), axis=(0, 2))
+            - jnp.sum(_cross2(r_i, P), axis=(1, 2))
         ) * inv_i
         return v + dv, w + dw
 
     perp_ri = jnp.stack([-r_i[..., 1], r_i[..., 0]], -1)  # w x r = w * perp(r)
     perp_rj = jnp.stack([-r_j[..., 1], r_j[..., 0]], -1)
 
-    def vrel_at(v, w, p):
+    def vrel(v, w):
+        # relative velocity at every manifold point [A, A, P, 2]
         return (
-            v[None, :]
-            + perp_rj[:, :, p] * w[None, :, None]
-            - v[:, None]
-            - perp_ri[:, :, p] * w[:, None, None]
+            v[None, :, None]
+            + perp_rj * w[None, :, None, None]
+            - v[:, None, None]
+            - perp_ri * w[:, None, None, None]
         )
-
-    P_pts = points.shape[2]
 
     def body(_, carry):
         v, w, acc_n, acc_t = carry
-        # points are solved sequentially within an iteration (Box2D's
-        # manifold order); pairs are solved Jacobi-parallel
-        for p in range(P_pts):
-            # normal: target vn = 0 (restitution 0), accumulated impulse >= 0
-            vn = jnp.sum(vrel_at(v, w, p) * normal, axis=-1)
-            dn = jnp.where(solvable[..., p], -vn / kn[..., p], 0.0)
-            new_n = jnp.maximum(acc_n[..., p] + dn, 0.0)
-            dn = new_n - acc_n[..., p]
-            acc_n = acc_n.at[..., p].set(new_n)
-            v, w = apply_point(v, w, p, dn, jnp.zeros_like(dn))
+        # both manifold points are solved Jacobi-simultaneously per
+        # iteration (Box2D orders them sequentially; at 8 iterations the
+        # fixed point is the same and the parallel form halves the op count
+        # inside the rollout scan — executed-Box2D deviation bounds in
+        # tests/test_physics_goldens.py cover the difference)
+        vn = jnp.sum(vrel(v, w) * n_p, axis=-1)  # [A, A, P]
+        # 0.5 relaxation: both manifold points push the same normal, so the
+        # simultaneous update would double-apply and oscillate
+        dn = jnp.where(solvable, -0.5 * vn / kn, 0.0)
+        new_n = jnp.maximum(acc_n + dn, 0.0)
+        dn = new_n - acc_n
+        acc_n = new_n
+        v, w = apply_points(v, w, dn, jnp.zeros_like(dn))
 
-            # friction against the updated velocities, |acc_t| <= mu * acc_n
-            vt = jnp.sum(vrel_at(v, w, p) * tangent, axis=-1)
-            dt_ = jnp.where(solvable[..., p], -vt / kt[..., p], 0.0)
-            hi = FRICTION * new_n
-            new_t = jnp.clip(acc_t[..., p] + dt_, -hi, hi)
-            dt_ = new_t - acc_t[..., p]
-            acc_t = acc_t.at[..., p].set(new_t)
-            v, w = apply_point(v, w, p, jnp.zeros_like(dt_), dt_)
+        # friction against the updated velocities, |acc_t| <= mu * acc_n
+        vt = jnp.sum(vrel(v, w) * t_p, axis=-1)
+        dt_ = jnp.where(solvable, -0.5 * vt / kt, 0.0)
+        hi = FRICTION * new_n
+        new_t = jnp.clip(acc_t + dt_, -hi, hi)
+        dt_ = new_t - acc_t
+        acc_t = new_t
+        v, w = apply_points(v, w, jnp.zeros_like(dt_), dt_)
         return v, w, acc_n, acc_t
 
     zeros = jnp.zeros_like(kn)
+    # TPU: unrolled — a nested while-loop inside the rollout scan costs
+    # ~2 ms PER ITERATION there (measured: 8 velocity + 3 position
+    # iterations made the contact path 59x slower than the whole
+    # pass-through env); the per-iteration math is tiny, so full unroll is
+    # the right trade. CPU keeps the rolled loop (the unrolled program is
+    # ~2.5x slower to compile and run there).
     v, w, _, _ = jax.lax.fori_loop(
-        0, iterations, body, (velocity, angular_velocity, zeros, zeros)
+        0, iterations, body, (velocity, angular_velocity, zeros, zeros),
+        unroll=jax.default_backend() == "tpu",
     )
     return v, w
 
@@ -239,27 +271,49 @@ def _correct_positions(
     inv_m: Array,
     iterations: int,
 ) -> Array:
-    """Baumgarte overlap removal, linear-only (heading untouched)."""
+    """Baumgarte overlap removal, linear-only (heading untouched).
 
-    def body(_, pos):
-        touching, normal, depth, _ = _contact_geometry(
-            pos, heading, length, width, active
-        )
+    Geometry (SAT manifold) is computed ONCE and frozen across the
+    ``iterations`` pushes; each iteration analytically shrinks the pair's
+    depth by the separation it just applied instead of re-colliding.
+    Box2D re-collides every iteration — the difference only matters for
+    multi-body pileups where one pair's push re-deepens another pair
+    within the same step, and the executed-Box2D deviation bounds
+    (tests/test_physics_goldens.py) cover it. The re-collide form tripled
+    the contact path's per-step SAT cost inside the rollout scan.
+    """
+    touching, normal, depth0, _ = _contact_geometry(
+        position, heading, length, width, active
+    )
+    denom = inv_m[:, None] + inv_m[None, :]
+    weight = jnp.where(
+        touching & (denom > 0.0),
+        1.0 / jnp.where(denom > 0, denom, 1.0),
+        0.0,
+    )
+
+    def body(_, carry):
+        pos, depth = carry
         corr = jnp.clip(
             BAUMGARTE * (depth - LINEAR_SLOP), 0.0, MAX_CORRECTION
         )
-        denom = inv_m[:, None] + inv_m[None, :]
-        share = jnp.where(
-            touching & (denom > 0.0), corr / jnp.where(denom > 0, denom, 1.0), 0.0
-        )
+        share = weight * corr
         push = share[..., None] * normal  # applied -push*invm_i to i, +.. to j
         dpos = (
             jnp.sum(push, axis=0) * inv_m[:, None]
             - jnp.sum(push, axis=1) * inv_m[:, None]
         )
-        return pos + dpos
+        # the pair separates by share * denom = corr along its normal
+        depth = depth - jnp.where(touching, share * denom, 0.0)
+        return pos + dpos, depth
 
-    return jax.lax.fori_loop(0, iterations, body, position)
+    # TPU-unrolled for the same while-loop-overhead reason as
+    # _solve_velocities
+    position, _ = jax.lax.fori_loop(
+        0, iterations, body, (position, depth0),
+        unroll=jax.default_backend() == "tpu",
+    )
+    return position
 
 
 def resolve_contacts(

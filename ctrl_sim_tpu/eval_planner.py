@@ -30,6 +30,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--data_dir", default=None)
     p.add_argument("--limit_files", type=int, default=None)
     p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--synthetic_agents", type=int, default=12)
     p.add_argument("--lane_batch", type=int, default=32)
     # planner/adversary tilts (cfgs/policy/ctrl_sim_planner|_adversary.yaml)
     p.add_argument("--planner_tilt", nargs=3, type=float, default=[10.0, 10.0, 10.0],
@@ -50,7 +51,10 @@ def main(argv: list[str] | None = None) -> None:
         scenes = [load_scenario_json(f, cfg) for f in files]
     else:
         n = args.synthetic or 8
-        scenes = [synthetic_scenario(cfg, seed=s, num_agents=12) for s in range(n)]
+        scenes = [
+            synthetic_scenario(cfg, seed=s, num_agents=args.synthetic_agents)
+            for s in range(n)
+        ]
 
     from ctrl_sim_tpu.data.store import ScenarioStore
 

@@ -31,6 +31,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--data_dir", default=None)
     p.add_argument("--limit_files", type=int, default=None)
     p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--synthetic_agents", type=int, default=12)
     p.add_argument("--lane_batch", type=int, default=32)
     p.add_argument("--out", default=None, help="write the metrics JSON here")
     args = p.parse_args(argv)
@@ -46,7 +47,10 @@ def main(argv: list[str] | None = None) -> None:
         scenes = [load_scenario_json(f, cfg) for f in files]
     else:
         n = args.synthetic or 8
-        scenes = [synthetic_scenario(cfg, seed=s, num_agents=12) for s in range(n)]
+        scenes = [
+            synthetic_scenario(cfg, seed=s, num_agents=args.synthetic_agents)
+            for s in range(n)
+        ]
 
     # init params (template), then restore checkpoint when provided
     from ctrl_sim_tpu.data.store import ScenarioStore

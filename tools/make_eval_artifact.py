@@ -25,9 +25,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
-import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ART = os.path.join(REPO, "artifacts")
@@ -68,16 +68,32 @@ def main() -> None:
     os.makedirs(ART, exist_ok=True)
     steps = os.environ.get("ARTIFACT_STEPS", "1500")
     scenes = os.environ.get("ARTIFACT_SCENES", "24")
-    with tempfile.TemporaryDirectory() as tmp:
-        ckpt_a = os.path.join(tmp, "run_a")
-        ckpt_b = os.path.join(tmp, "run_b")
+    only = os.environ.get("ARTIFACT_ONLY", "")  # e.g. "planner" to redo one leg
+    ckpt_a = os.path.join(ART, "ckpt_a")  # gitignored; kept for leg reruns
+    ckpt_b = os.path.join(ART, "ckpt_b")
 
+    # the 40-step episodes need relaxed "interesting pair" thresholds
+    # (eval.interesting_traj_len_threshold defaults to 60 — longer than the
+    # whole episode — which selects no planner/adversary pair at all)
+    # synthetic scenes spread goals over the arena, so the Waymo-scale
+    # goal-proximity criterion selects nothing; accept any long-enough
+    # moving pair (the artifact exercises the pipeline, not pair realism)
+    planner_sel = [
+        "-o", "eval.interesting_traj_len_threshold=20",
+        "-o", "eval.interesting_timestep_diff_threshold=5",
+        "-o", "eval.interesting_goal_dist_threshold=1000.0",
+    ]
+
+    if not only or only == "a":
         # ---- run A: reference semantics -------------------------------
+        if os.path.exists(ckpt_a):
+            shutil.rmtree(ckpt_a)
         run(
             "ctrl_sim_tpu.train", *SMALL,
             "--synthetic", scenes, "--synthetic_agents", "6",
             "--steps", steps, "--save_dir", ckpt_a, "--log_every", "200",
         )
+    if not only or only in ("a", "exact"):
         run(
             "ctrl_sim_tpu.eval_sim", *SMALL,
             "-o", "eval.rollout_mode=exact",
@@ -85,20 +101,26 @@ def main() -> None:
             "--ckpt", ckpt_a, "--synthetic", "12", "--lane_batch", "12",
             "--out", os.path.join(ART, "eval_r03_exact.json"),
         )
+    if not only or only in ("a", "planner"):
         run(
-            "ctrl_sim_tpu.eval_planner", *SMALL,
+            "ctrl_sim_tpu.eval_planner", *SMALL, *planner_sel,
             "-o", "eval.rollout_mode=exact",
-            "--ckpt", ckpt_a, "--synthetic", "8", "--lane_batch", "8",
+            "--ckpt", ckpt_a, "--synthetic", "8", "--synthetic_agents", "6",
+            "--lane_batch", "8",
             "--out", os.path.join(ART, "eval_r03_planner.json"),
         )
 
+    if not only or only == "b":
         # ---- run B: streaming deployment semantics --------------------
+        if os.path.exists(ckpt_b):
+            shutil.rmtree(ckpt_b)
         run(
             "ctrl_sim_tpu.train", *SMALL,
             "-o", "waymo.episode_start_normalization=true",
             "--synthetic", scenes, "--synthetic_agents", "6",
             "--steps", steps, "--save_dir", ckpt_b, "--log_every", "200",
         )
+    if not only or only in ("b", "streaming"):
         run(
             "ctrl_sim_tpu.eval_sim", *SMALL,
             "-o", "waymo.episode_start_normalization=true",

@@ -64,9 +64,16 @@ def main() -> None:
     # attention weights — models/layers.py). BENCH_XSCORE=float32 for the
     # bit-parity configuration.
     xscore = os.environ.get("BENCH_XSCORE", "bfloat16")
+    # default ON (reference parity: the reference always simulates contacts);
+    # BENCH_CONTACTS=0 measures the pass-through configuration (+7%)
+    contacts = os.environ.get("BENCH_CONTACTS", "1") != "0"
 
     cfg = load_config(
-        {"model.kv_cache_dtype": kv_dtype, "model.cross_score_dtype": xscore}
+        {
+            "model.kv_cache_dtype": kv_dtype,
+            "model.cross_score_dtype": xscore,
+            "sim.resolve_contacts": contacts,
+        }
     )
     steps = cfg.sim.steps
 
@@ -154,6 +161,7 @@ def main() -> None:
             "chunk": chunk,
             "agents": bench_agents,
             "lanes": bench_lanes,
+            "contacts": contacts,
             "steps": steps,
             "elapsed_s": round(elapsed, 2),
             "compile_s": round(compile_s, 1),

@@ -102,6 +102,56 @@ def render_frame(
     ax.set_yticks([])
 
 
+def render_ego_cone(
+    ax,
+    scene: Scenario,
+    positions: np.ndarray,  # [A, 2]
+    headings: np.ndarray,  # [A]
+    existence: np.ndarray,  # [A]
+    ego_index: int,
+    view_dist: float = 80.0,
+    view_angle: float = float(np.pi) * (120.0 / 180.0),
+):
+    """Overlay the ego visibility cone and highlight visible agents — the
+    rendering analog of Scenario::EgoVehicleConeImage (scenario.cc:742-893),
+    driven by the same cone+occlusion predicate the observation API uses
+    (env/observation.py). Call after render_frame on the same axes."""
+    from matplotlib.patches import Wedge
+
+    import jax.numpy as jnp
+
+    from ctrl_sim_tpu.env.observation import visible_objects_mask
+
+    ego = int(ego_index)
+    if existence[ego] <= 0:
+        return
+    theta = float(headings[ego])
+    ax.add_patch(
+        Wedge(
+            (float(positions[ego, 0]), float(positions[ego, 1])),
+            view_dist,
+            np.degrees(theta - view_angle / 2),
+            np.degrees(theta + view_angle / 2),
+            facecolor="#4080e0", alpha=0.10, edgecolor="#4080e0",
+            linewidth=0.8, zorder=2,
+        )
+    )
+    vis = np.asarray(
+        visible_objects_mask(
+            jnp.asarray(positions), jnp.asarray(headings),
+            jnp.asarray(scene.length), jnp.asarray(scene.width),
+            jnp.asarray(existence > 0), ego_index=ego,
+            view_dist=view_dist, view_angle=view_angle,
+        )
+    )
+    for a in np.where(vis)[0]:
+        ax.plot(
+            positions[a, 0], positions[a, 1], "o",
+            markerfacecolor="none", markeredgecolor="#4080e0",
+            markersize=10, zorder=5,
+        )
+
+
 def render_rollout(
     cfg: Config,
     scene: Scenario,

@@ -338,6 +338,12 @@ class PolicyConfig:
     nucleus_sampling: bool = False
     nucleus_threshold: float = 0.8
     tilt: TiltConfig = field(default_factory=TiltConfig)
+    # CTG++ diffusion guidance weights (0 = off). The reference imports a
+    # diffusion_guidance module that does not exist in its tree; these make
+    # the GoalGuide / CollisionGuide interface real (models/ctg/guidance.py)
+    ctg_goal_guidance: float = 0.0
+    ctg_collision_guidance: float = 0.0
+    ctg_collision_radius: float = 4.0
 
 
 @dataclass(frozen=True)

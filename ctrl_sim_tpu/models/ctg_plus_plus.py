@@ -58,9 +58,12 @@ class CTGPlusPlus(nn.Module):
         cond = {k: batch[k] for k in COND_KEYS}
         return self.diffusion.sample(cond, rng)
 
-    def sample_from_cond(self, cond: dict, rng: Array) -> Array:
-        """Sample futures from an already-built conditioning dict (rollout)."""
-        return self.diffusion.sample(cond, rng)
+    def sample_from_cond(
+        self, cond: dict, rng: Array, guidance_fn=None
+    ) -> Array:
+        """Sample futures from an already-built conditioning dict (rollout);
+        optional classifier-guidance cost (models/ctg/guidance.py)."""
+        return self.diffusion.sample(cond, rng, guidance_fn=guidance_fn)
 
     def loss(self, batch: dict, rng: Array) -> CTGLossDict:
         cond = {k: batch[k] for k in COND_KEYS}

@@ -150,10 +150,34 @@ def run_ctg_closed_loop(
         }, anchor
 
     def replan(carry: Carry, t: Array) -> tuple[Array, Array]:
-        cond, _ = build_cond(carry, t)
+        cond, anchor = build_cond(carry, t)
         k = jax.random.fold_in(carry.rng, t)
+        # optional diffusion guidance (the reference's dead
+        # diffusion_guidance import, made real — models/ctg/guidance.py)
+        pc = cfg.policy
+        guidance_fn = None
+        guides = []
+        if pc.ctg_goal_guidance > 0.0:
+            from ctrl_sim_tpu.models.ctg.guidance import goal_guide
+
+            guides.append(goal_guide(pc.ctg_goal_guidance))
+        if pc.ctg_collision_guidance > 0.0:
+            from ctrl_sim_tpu.models.ctg.guidance import collision_guide
+
+            guides.append(
+                collision_guide(
+                    anchor, wc.pos_div,
+                    radius=pc.ctg_collision_radius,
+                    weight=pc.ctg_collision_guidance,
+                )
+            )
+        if guides:
+            from ctrl_sim_tpu.models.ctg.guidance import combine
+
+            guidance_fn = combine(*guides)
         samples = model.apply(
-            params, cond, k, method=type(model).sample_from_cond
+            params, cond, k, method=type(model).sample_from_cond,
+            guidance_fn=guidance_fn,
         )  # [E, A, T_out, 7]
         tgt_k = wc.k_attr - 2
         return _unnormalize_actions(samples[..., tgt_k:], wc)

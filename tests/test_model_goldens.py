@@ -262,3 +262,64 @@ def test_strict_and_dt_mask_variants(g):
     np.testing.assert_array_equal(np.asarray(strict), g["mask_small_strict"] == 0)
     dt = masks.multi_agent_causal_mask(4, 24, 3, state_index=1)
     np.testing.assert_array_equal(np.asarray(dt), g["mask_small_dt"] == 0)
+
+
+# ---------------------------------------------------------------------------
+# optimizer parity: executed configure_optimizers + create_lambda_lr
+# ---------------------------------------------------------------------------
+
+
+def test_lr_schedule_matches_executed_reference(g):
+    """lr_schedule == lr * create_lambda_lr (utils/train_utils.py:5-12),
+    executed with the reference's training config."""
+    from ctrl_sim_tpu.training.trainer import lr_schedule
+
+    cfg = load_config(
+        {"train.warmup_steps": 500, "train.max_steps": 200_000,
+         "train.lr": 5e-4}
+    )
+    sched = lr_schedule(cfg)
+    for step, factor in zip(g["opt_lr_steps"], g["opt_lr_factors"]):
+        ours = float(sched(jnp.asarray(int(step))))
+        assert abs(ours - 5e-4 * float(factor)) < 1e-9, (step, ours, factor)
+
+
+def _flax_leaf_kind(torch_name: str) -> str:
+    """The transplant mapping's leaf kind for a torch parameter name
+    (mirrors _W/_build_params): 'kernel' leaves get weight decay in our
+    optax mask, everything else does not."""
+    n = torch_name
+    if n.endswith(".bias") or n.endswith("in_proj_bias"):
+        return "bias"
+    if n.endswith("map_seeds"):
+        return "param"
+    if n.endswith("in_proj_weight") or n.endswith("out_proj.weight"):
+        return "kernel"
+    if n.endswith(".weight"):
+        mod = n.rsplit(".", 2)[-2] if ".mlp." in n else n.rsplit(".", 1)[0]
+        if ".mlp." in n:
+            # reference MLPLayer: Sequential [Linear, LayerNorm, ReLU, Linear]
+            return "kernel" if mod in ("0", "3") else "scale"
+        leaf_mod = mod.rsplit(".", 1)[-1]
+        if leaf_mod.startswith("norm") or leaf_mod == "embed_ln":
+            return "scale"
+        if leaf_mod in ("linear1", "linear2", "embed_state_goal", "embed_rtg"):
+            return "kernel"
+        if leaf_mod.startswith("embed_"):
+            return "embedding"  # nn.Embedding tables
+    raise AssertionError(f"unmapped torch param {torch_name}")
+
+
+def test_weight_decay_partition_matches_executed_reference(g):
+    """The optax decay mask (kernels only, training/trainer.py:_decay_mask)
+    partitions parameters exactly like the EXECUTED configure_optimizers
+    (models/ctrl_sim.py:242-282): whitelist Linear/MultiheadAttention
+    weights decay; biases, LayerNorms, Embeddings, learned seeds do not."""
+    decay = {str(n) for n in g["opt_decay_names"]}
+    no_decay = {str(n) for n in g["opt_no_decay_names"]}
+    assert decay and no_decay and not (decay & no_decay)
+    for name in decay | no_decay:
+        kind = _flax_leaf_kind(name)
+        ours_decays = kind == "kernel"
+        ref_decays = name in decay
+        assert ours_decays == ref_decays, (name, kind, ref_decays)

@@ -244,6 +244,69 @@ def main() -> None:
         print(f"[goldens] {family}: action_preds "
               f"{preds['action_preds'].shape}, {sum(1 for k in out if k.startswith(pfx + 'w_'))} tensors")
 
+    # ---- executed optimizer partition + LR schedule --------------------
+    # configure_optimizers (models/ctrl_sim.py:242-282) + create_lambda_lr
+    # (utils/train_utils.py:5-12), run on the real reference module
+    import torch
+
+    pl = types.ModuleType("pytorch_lightning")
+    pl.LightningModule = torch.nn.Module
+    pl.__path__ = []
+    sys.modules.setdefault("pytorch_lightning", pl)
+    plu = types.ModuleType("pytorch_lightning.utilities")
+    plu.grad_norm = lambda *a, **k: {}
+    sys.modules.setdefault("pytorch_lightning.utilities", plu)
+    # models/__init__ imports modules.diffusion, which hits the reference's
+    # genuinely missing diffusion_guidance module; stub the three names it
+    # wants (the very defect our models/ctg/guidance.py fixes)
+    dg = types.ModuleType("modules.diffusion_guidance")
+    dg.n_step_guided_p_sample = lambda *a, **k: None
+    dg.GoalGuide = object
+    dg.CollisionGuide = object
+    sys.modules.setdefault("modules.diffusion_guidance", dg)
+    import importlib
+
+    ref_ctrl_sim = importlib.import_module("models.ctrl_sim")
+
+    class _Train(dict):
+        # cfg.train is read both attribute- and item-style
+        def __getattr__(self, k):
+            return self[k]
+
+    cfg = _cfg("ctrl_sim")
+    cfg.train = _Train(
+        weight_decay=0.1, lr=5e-4, warmup_steps=500, max_steps=200_000,
+        finetuning=False, track=False,
+    )
+    cfg.dataset.waymo.train_context_length = T
+    model = ref_ctrl_sim.CtRLSim.__new__(ref_ctrl_sim.CtRLSim)
+    torch.nn.Module.__init__(model)
+    model.cfg = cfg
+    model.cfg_model = cfg.model
+    model.cfg_rl_waymo = cfg.dataset.waymo
+    enc_mod2 = importlib.import_module("modules.encoder")
+    dec_mod2 = importlib.import_module("modules.decoder")
+    model.encoder = enc_mod2.Encoder(cfg)
+    model.decoder = dec_mod2.Decoder(cfg)
+    [optimizer], sched = model.configure_optimizers()
+    decay_names = sorted(
+        n for n, p in model.named_parameters()
+        if any(p is q for q in optimizer.param_groups[0]["params"])
+    )
+    no_decay_names = sorted(
+        n for n, p in model.named_parameters()
+        if any(p is q for q in optimizer.param_groups[1]["params"])
+    )
+    out["opt_decay_names"] = np.array(decay_names)
+    out["opt_no_decay_names"] = np.array(no_decay_names)
+    lam = tu.create_lambda_lr(cfg)
+    steps = np.array([0, 1, 100, 250, 499, 500, 501, 1000, 50_000, 100_000,
+                      199_999, 200_000])
+    out["opt_lr_steps"] = steps
+    out["opt_lr_factors"] = np.array([lam(int(s)) for s in steps], np.float64)
+    print(f"[goldens] optimizer: {len(decay_names)} decay, "
+          f"{len(no_decay_names)} no-decay params")
+
     # full-size training mask (32 steps x 24 agents x 3 types) + the
     # attend_own_return_action variant on a reduced size
     full = types.SimpleNamespace(

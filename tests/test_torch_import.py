@@ -1,0 +1,77 @@
+"""Reference-checkpoint import (ctrl_sim_tpu/utils/torch_import.py +
+python -m ctrl_sim_tpu.import_checkpoint).
+
+Builds a Lightning-style checkpoint from the executed-reference golden
+tensors, runs the import CLI, restores the orbax checkpoint, and asserts
+the imported model reproduces the reference's logits — the migration path
+for users bringing trained reference models.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens", "reference_model.npz")
+
+
+@pytest.mark.slow  # torch save + orbax round trip + forward: ~1 min
+def test_import_cli_round_trips_reference_weights(tmp_path):
+    if not os.path.exists(GOLDENS):
+        pytest.skip("reference_model.npz not generated")
+    import torch
+
+    from ctrl_sim_tpu import import_checkpoint
+    from ctrl_sim_tpu.models.ctrl_sim import CtRLSim
+    from ctrl_sim_tpu.training import Trainer
+    from ctrl_sim_tpu.training.checkpoint import CheckpointManager
+    from tests.test_model_goldens import _batch, _cfg
+
+    g = np.load(GOLDENS)
+    # golden names use '' for encoder and 'dec.' for decoder; the Lightning
+    # state_dict uses 'encoder.' / 'decoder.'
+    state = {}
+    for k in g.files:
+        if not k.startswith("ctrl_sim_w_"):
+            continue
+        name = k[len("ctrl_sim_w_"):]
+        if name.startswith("dec."):
+            name = "decoder." + name[len("dec."):]
+        else:
+            name = "encoder." + name
+        state[name] = torch.from_numpy(g[k])
+    ckpt_path = tmp_path / "model.ckpt"
+    torch.save({"state_dict": state}, ckpt_path)
+
+    out_dir = tmp_path / "imported"
+    overrides = [
+        "-o", "model.hidden_dim=64", "-o", "model.num_heads=4",
+        "-o", "model.dim_feedforward=128",
+        "-o", "model.num_transformer_encoder_layers=2",
+        "-o", "model.num_decoder_layers=2",
+        "-o", "model.compute_dtype=float32",
+        "-o", "model.use_flash_attention=false",
+        "-o", "model.use_pallas_attention=false", "-o", "model.remat=false",
+        "-o", "waymo.train_context_length=4", "-o", "waymo.max_num_agents=4",
+        "-o", "waymo.max_num_road_polylines=6",
+        "-o", "waymo.max_num_road_pts_per_polyline=10",
+    ]
+    import_checkpoint.main(
+        ["--torch", str(ckpt_path), "--out", str(out_dir), *overrides]
+    )
+
+    cfg = _cfg("ctrl_sim")
+    model = CtRLSim(cfg)
+    batch = _batch(g, "ctrl_sim")
+    trainer = Trainer(cfg)
+    template = trainer.init_state(jax.random.PRNGKey(0), batch)
+    restored = CheckpointManager(cfg, str(out_dir)).restore(template)
+
+    out = model.apply(restored.params, batch)
+    np.testing.assert_allclose(
+        np.asarray(out.action_preds), g["ctrl_sim_out_action_preds"],
+        atol=1e-4, rtol=1e-4,
+    )

@@ -75,3 +75,43 @@ def make_adversarial_scenario(
         name=scene.name + "_cat",
     )
     return out, focal_agent_idx
+
+
+def match_adversary_by_position(
+    scene: Scenario,
+    sdc_pos: np.ndarray,  # [2] CAT ego (SDC) initial position
+    adv_pos: np.ndarray,  # [2] CAT adversary initial position
+    candidates: np.ndarray | None = None,  # agent indices; default: all valid
+    tol: float = 0.01,
+) -> tuple[int | None, int | None, bool]:
+    """Match a CAT/MD scenario's (sdc, adversary) to scene agent indices by
+    initial-position proximity (filter_valid_cat_scenarios.py:21-49's
+    match_md_to_nocturne, minus that script's shipped-broken debug exit):
+    the nearer candidate to the CAT sdc becomes the ego, the other the
+    adversary, and the match only stands if both line up within ``tol``.
+
+    Returns (sdc_idx, adversary_idx, matched).
+    """
+    sdc_pos = np.asarray(sdc_pos, np.float64)
+    adv_pos = np.asarray(adv_pos, np.float64)
+    # the reference treats a zero-x position as "no pair recorded"
+    if sdc_pos[0] == 0 or adv_pos[0] == 0:
+        return None, None, False
+    if candidates is None:
+        candidates = np.where(np.asarray(scene.traj_valid)[:, 0])[0]
+    candidates = np.asarray(candidates)
+    if len(candidates) < 2:
+        return None, None, False
+
+    pos0 = np.asarray(scene.traj_position)[candidates, 0]  # [C, 2]
+    d_sdc = np.linalg.norm(pos0 - sdc_pos, axis=-1)
+    sdc_i = int(candidates[np.argmin(d_sdc)])
+    d_adv = np.linalg.norm(pos0 - adv_pos, axis=-1)
+    d_adv[candidates == sdc_i] = np.inf
+    adv_i = int(candidates[np.argmin(d_adv)])
+
+    matched = (
+        np.linalg.norm(np.asarray(scene.traj_position)[sdc_i, 0] - sdc_pos) < tol
+        and np.linalg.norm(np.asarray(scene.traj_position)[adv_i, 0] - adv_pos) < tol
+    )
+    return sdc_i, adv_i, bool(matched)

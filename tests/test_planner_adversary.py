@@ -140,3 +140,23 @@ def test_finetuning_store_mixing(setup):
     preds = model.apply(params, batch, deterministic=True)
     losses = compute_loss(cfg, batch, preds)
     assert np.isfinite(float(losses.total))
+
+
+def test_match_adversary_by_position():
+    """CAT scenario matching (filter_valid_cat_scenarios.py:21-49): initial
+    positions identify (sdc, adversary); sub-tolerance offsets break it."""
+    from ctrl_sim_tpu.config import load_config
+    from ctrl_sim_tpu.data.synthetic import synthetic_scenario
+    from ctrl_sim_tpu.evals.cat import match_adversary_by_position
+
+    cfg = load_config({"sim.max_agents": 6, "waymo.max_num_agents": 6})
+    scene = synthetic_scenario(cfg, seed=3, num_agents=5)
+    p = np.asarray(scene.traj_position)[:, 0]
+    sdc_i, adv_i, ok = match_adversary_by_position(scene, p[2], p[4])
+    assert ok and (sdc_i, adv_i) == (2, 4)
+    # offset beyond tolerance -> no match
+    _, _, ok2 = match_adversary_by_position(scene, p[2] + 0.5, p[4])
+    assert not ok2
+    # the reference's zero-position sentinel
+    _, _, ok3 = match_adversary_by_position(scene, np.zeros(2), p[4])
+    assert not ok3

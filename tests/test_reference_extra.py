@@ -204,3 +204,14 @@ def test_ctg_agent_road_crops(g):
     )
     np.testing.assert_allclose(np.asarray(rp2), g["ctg_roads_small"], atol=1e-4)
     np.testing.assert_allclose(np.asarray(rt2), g["ctg_road_types_small"], atol=1e-6)
+
+
+def test_split_matches_executed_reference(g):
+    """split_val_test reproduces the reference's seeded shuffle bitwise
+    (data/split_val_test.py:24-39: random.seed(2024) over sorted names)."""
+    from ctrl_sim_tpu.data.export import split_val_test
+
+    files = [str(x) for x in g["split_files"]]
+    val, test = split_val_test(files, seed=2024, num_test=7)
+    assert test == [str(x) for x in g["split_test"]]
+    assert val == [str(x) for x in g["split_val"]]

@@ -309,6 +309,23 @@ def golden_ctg(out, rng, base_mod):
     out["ctg_road_types_small"] = ft2
 
 
+def golden_split(out):
+    """The reference's seeded val/test split recipe, executed literally
+    (data/split_val_test.py:24-39): random.seed(2024); shuffle indices of
+    the sorted filename list; first 2500 (here 7) are the test set."""
+    import random as _random
+
+    files = sorted(f"scene_{i:04d}.json" for i in range(23))
+    _random.seed(2024)
+    file_ids = list(np.arange(len(files)))
+    _random.shuffle(file_ids)
+    test_ids = file_ids[:7]
+    val_ids = file_ids[7:]
+    out["split_files"] = np.array(files)
+    out["split_test"] = np.array([files[i] for i in test_ids])
+    out["split_val"] = np.array([files[i] for i in val_ids])
+
+
 def main() -> None:
     mod = _import_reference_dataset()
     ds = mod.RLWaymoDataset.__new__(mod.RLWaymoDataset)
@@ -324,6 +341,7 @@ def main() -> None:
     golden_bicycle_backward(out, rng)
     golden_get_roads(out, rng, ds)
     golden_ctg(out, rng, mod)
+    golden_split(out)
 
     os.makedirs(os.path.dirname(os.path.abspath(OUT)), exist_ok=True)
     np.savez_compressed(OUT, **out)

@@ -166,6 +166,12 @@ def main() -> None:
             "elapsed_s": round(elapsed, 2),
             "compile_s": round(compile_s, 1),
             "device": str(jax.devices()[0]),
+            "note": (
+                "default simulates vehicle contacts (reference parity; "
+                "round 2 measured pass-through collisions at 13.8k) — "
+                "BENCH_CONTACTS=0 measures 14.3k; chunk sweep, kernel "
+                "race, and measured-bandwidth roofline in BENCH_NOTES.md"
+            ),
         },
     }
     print(json.dumps(result))

@@ -18,8 +18,9 @@ import pytest
 GOLDENS = os.path.join(os.path.dirname(__file__), "goldens", "reference_model.npz")
 
 
-@pytest.mark.slow  # torch save + orbax round trip + forward: ~1 min
-def test_import_cli_round_trips_reference_weights(tmp_path):
+@pytest.mark.slow  # torch save + orbax round trip + forward: ~1 min/family
+@pytest.mark.parametrize("family", ["ctrl_sim", "dt"])
+def test_import_cli_round_trips_reference_weights(tmp_path, family):
     if not os.path.exists(GOLDENS):
         pytest.skip("reference_model.npz not generated")
     import torch
@@ -33,11 +34,12 @@ def test_import_cli_round_trips_reference_weights(tmp_path):
     g = np.load(GOLDENS)
     # golden names use '' for encoder and 'dec.' for decoder; the Lightning
     # state_dict uses 'encoder.' / 'decoder.'
+    pfx = f"{family}_w_"
     state = {}
     for k in g.files:
-        if not k.startswith("ctrl_sim_w_"):
+        if not k.startswith(pfx):
             continue
-        name = k[len("ctrl_sim_w_"):]
+        name = k[len(pfx):]
         if name.startswith("dec."):
             name = "decoder." + name[len("dec."):]
         else:
@@ -47,7 +49,14 @@ def test_import_cli_round_trips_reference_weights(tmp_path):
     torch.save({"state_dict": state}, ckpt_path)
 
     out_dir = tmp_path / "imported"
+    family_flags = {
+        "ctrl_sim": [],
+        "dt": ["-o", "model.decision_transformer=true",
+               "-o", "model.predict_rtg=false",
+               "-o", "model.predict_future_states=false"],
+    }[family]
     overrides = [
+        *family_flags,
         "-o", "model.hidden_dim=64", "-o", "model.num_heads=4",
         "-o", "model.dim_feedforward=128",
         "-o", "model.num_transformer_encoder_layers=2",
@@ -63,15 +72,15 @@ def test_import_cli_round_trips_reference_weights(tmp_path):
         ["--torch", str(ckpt_path), "--out", str(out_dir), *overrides]
     )
 
-    cfg = _cfg("ctrl_sim")
+    cfg = _cfg(family)
     model = CtRLSim(cfg)
-    batch = _batch(g, "ctrl_sim")
+    batch = _batch(g, family)
     trainer = Trainer(cfg)
     template = trainer.init_state(jax.random.PRNGKey(0), batch)
     restored = CheckpointManager(cfg, str(out_dir)).restore(template)
 
     out = model.apply(restored.params, batch)
     np.testing.assert_allclose(
-        np.asarray(out.action_preds), g["ctrl_sim_out_action_preds"],
+        np.asarray(out.action_preds), g[f"{family}_out_action_preds"],
         atol=1e-4, rtol=1e-4,
     )

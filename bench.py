@@ -48,11 +48,11 @@ def main() -> None:
     from ctrl_sim_tpu.rollout.streaming import run_streaming
 
     mode = os.environ.get("BENCH_MODE", "streaming")
-    total_envs = int(os.environ.get("BENCH_ENVS", "1024"))
-    # chunk (lanes per jitted call): swept 64/128/256 in round 3 — 128 is
-    # the knee (+4% over 64); 256 collapses 4.5x (XLA pathology at that
-    # batch, BENCH_NOTES) and compiles >40 min on the remote compiler
-    chunk = int(os.environ.get("BENCH_CHUNK", "128" if mode == "streaming" else "32"))
+    total_envs = int(os.environ.get("BENCH_ENVS", "1152"))
+    # chunk (lanes per jitted call): swept 64/128/192/256 in round 3 — 192
+    # is the knee (13.9k, +4.5% over 128); 256 collapses 4.5x (XLA
+    # pathology at that batch, BENCH_NOTES). 1152 envs = 6 x 192 lanes
+    chunk = int(os.environ.get("BENCH_CHUNK", "192" if mode == "streaming" else "32"))
     # scene realism knobs: default 12 agents / 4 lanes matches rounds 1-2;
     # BENCH_AGENTS=24 fills every model slot, BENCH_LANES raises the
     # road-edge segment count the collision/reward path scans

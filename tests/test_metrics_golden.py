@@ -346,3 +346,44 @@ def test_chunked_equals_pooled(cfg):
     a, b = acc_chunked.compute(), acc_pooled.compute()
     for k in a:
         np.testing.assert_allclose(a[k], b[k], rtol=1e-10, err_msg=k)
+
+
+def test_eval_mode_agent_selection():
+    """one_agent / two_agent / multi_agent selection semantics
+    (policy_evaluator.py:308-459): one_agent picks the ego of an
+    interesting pair, two_agent both, multi_agent caps at the threshold."""
+    import random as pyrandom
+
+    from ctrl_sim_tpu.config import load_config
+    from ctrl_sim_tpu.data.synthetic import synthetic_scenario
+    from ctrl_sim_tpu.evals.evaluator import select_vehicles_to_evaluate
+
+    base = {
+        "sim.max_agents": 8, "waymo.max_num_agents": 8, "sim.steps": 40,
+        # synthetic goals never cluster at Waymo-scale thresholds
+        "eval.interesting_goal_dist_threshold": 1000.0,
+        "eval.interesting_traj_len_threshold": 20,
+        "eval.interesting_timestep_diff_threshold": 5,
+        "eval.multi_agent_eval_threshold": 3,
+    }
+    scene = synthetic_scenario(load_config(base), seed=1, num_agents=6)
+
+    one = select_vehicles_to_evaluate(
+        load_config({**base, "eval.eval_mode": "one_agent"}),
+        scene, pyrandom.Random(0),
+    )
+    assert len(one) == 1
+
+    two = select_vehicles_to_evaluate(
+        load_config({**base, "eval.eval_mode": "two_agent"}),
+        scene, pyrandom.Random(0),
+    )
+    assert len(two) == 2 and two[0] != two[1]
+    # seeded: one_agent's pick is the ego of the same seeded pair
+    assert one[0] == two[0]
+
+    multi = select_vehicles_to_evaluate(
+        load_config({**base, "eval.eval_mode": "multi_agent"}),
+        scene, pyrandom.Random(0),
+    )
+    assert len(multi) == 3  # capped at the threshold

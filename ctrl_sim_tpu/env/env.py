@@ -190,6 +190,15 @@ class WaymoEnv:
         """Compute the 8-component reward at the current state and update the
         sticky goal bit (called before stepping, like
         policy_evaluator.py:515 -> utils/sim.py:83)."""
+        veh_veh = state.veh_veh_collision
+        veh_edge = state.veh_edge_collision
+        if not self.cfg.sim.collision_fix:
+            # legacy merged-flag semantics (sim.py:137-139 via the single
+            # collision_type_): UpdateCollision checks edges AFTER vehicles
+            # and the merged flag is last-write-wins (scenario.cc:294-327,
+            # object_base.h:55-63), so an edge collision masks the
+            # vehicle-vehicle report for that step
+            veh_veh = veh_veh & ~veh_edge
         reward8, position_achieved = compute_reward8(
             state.bodies.position,
             state.bodies.speed,
@@ -199,8 +208,8 @@ class WaymoEnv:
             jnp.asarray(scenario.goal_heading),
             jnp.asarray(scenario.goal_dist_normalizer),
             state.position_achieved,
-            state.veh_veh_collision,
-            state.veh_edge_collision,
+            veh_veh,
+            veh_edge,
             self.cfg.sim.rewards,
         )
         return reward8, state._replace(position_achieved=position_achieved)

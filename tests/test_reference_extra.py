@@ -215,3 +215,29 @@ def test_split_matches_executed_reference(g):
     val, test = split_val_test(files, seed=2024, num_test=7)
     assert test == [str(x) for x in g["split_test"]]
     assert val == [str(x) for x in g["split_val"]]
+
+
+def test_compute_reward8_legacy_collision_fix_off(g):
+    """collision_fix=False merged-flag semantics (utils/sim.py:137-139 over
+    the last-write-wins collision_type_, scenario.cc:294-327): an edge
+    collision masks the veh-veh report. Our env applies veh_veh & ~veh_edge
+    before compute_reward8 (env/env.py)."""
+    if "rew_reward8_nofix" not in g.files:
+        pytest.skip("regenerate reference_extra.npz")
+    veh = jnp.asarray(g["rew_cveh"]).astype(bool)
+    edge = jnp.asarray(g["rew_cedge"]).astype(bool)
+    reward8, _ = compute_reward8(
+        jnp.asarray(g["rew_states"]),
+        jnp.asarray(g["rew_speeds"]),
+        jnp.asarray(g["rew_headings"]),
+        jnp.asarray(g["rew_goal_pos"]),
+        jnp.asarray(g["rew_goal_speed"]),
+        jnp.asarray(g["rew_goal_heading"]),
+        jnp.asarray(g["rew_normalizers"]),
+        jnp.asarray(g["rew_prev_achieved"]).astype(bool),
+        veh & ~edge,  # the env's collision_fix=False transform
+        edge,
+    )
+    np.testing.assert_allclose(
+        np.asarray(reward8), g["rew_reward8_nofix"], atol=1e-6
+    )

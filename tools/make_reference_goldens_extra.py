@@ -62,7 +62,15 @@ class _StubVehicle:
         self.collision_type_edge = (
             _CollisionType.VEHICLE_ROAD if cedge else _CollisionType.UNCOLLIDED
         )
-        self.collision_type = self.collision_type_veh or self.collision_type_edge
+        # merged-flag semantics: UpdateCollision checks edges AFTER
+        # vehicles and collision_type_ is last-write-wins
+        # (scenario.cc:294-327, object_base.h:55-63) -> edge wins
+        if cedge:
+            self.collision_type = _CollisionType.VEHICLE_ROAD
+        elif cveh:
+            self.collision_type = _CollisionType.VEHICLE_VEHICLE
+        else:
+            self.collision_type = _CollisionType.UNCOLLIDED
 
     def getID(self):
         return self._id
@@ -144,6 +152,7 @@ def golden_compute_reward(out, rng):
     prev_achieved = rng.integers(0, 2, n)
 
     rewards = []
+    rewards_old = []
     for i in range(n):
         veh = _StubVehicle(
             i, states[i, 0], states[i, 1], speeds[i], headings[i],
@@ -159,6 +168,12 @@ def golden_compute_reward(out, rng):
                 REW_CFG, veh, goal_dict, normalizers[i], vdd, collision_fix=True
             )
         )
+        rewards_old.append(
+            sim_mod.compute_reward(
+                REW_CFG, veh, goal_dict, normalizers[i], vdd,
+                collision_fix=False,
+            )
+        )
     out["rew_states"] = states
     out["rew_speeds"] = speeds
     out["rew_headings"] = headings
@@ -170,6 +185,7 @@ def golden_compute_reward(out, rng):
     out["rew_cedge"] = cedge
     out["rew_prev_achieved"] = prev_achieved
     out["rew_reward8"] = np.array(rewards, dtype=np.float64)
+    out["rew_reward8_nofix"] = np.array(rewards_old, dtype=np.float64)
 
 
 def golden_bicycle_backward(out, rng):

@@ -11,8 +11,10 @@ chip. Prints ONE JSON line:
 Baseline target (BASELINE.md): >= 100,000 env-steps/s/host at 1024 parallel
 scenarios.
 
-Knobs via env vars: BENCH_ENVS (default 1024), BENCH_CHUNK (lanes per jitted
-rollout call, default 32), BENCH_MODE (exact|streaming).
+Knobs via env vars: BENCH_ENVS (default 1152), BENCH_CHUNK (lanes per jitted
+rollout call, default 192 streaming / 32 exact), BENCH_MODE
+(exact|streaming), BENCH_AGENTS/BENCH_LANES (scene density),
+BENCH_CONTACTS, BENCH_KV (bfloat16|int8), BENCH_XSCORE.
 """
 
 from __future__ import annotations
@@ -167,10 +169,9 @@ def main() -> None:
             "compile_s": round(compile_s, 1),
             "device": str(jax.devices()[0]),
             "note": (
-                "default simulates vehicle contacts (reference parity; "
-                "round 2 measured pass-through collisions at 13.8k) — "
-                "BENCH_CONTACTS=0 measures 14.3k; chunk sweep, kernel "
-                "race, and measured-bandwidth roofline in BENCH_NOTES.md"
+                "default simulates vehicle contacts (reference parity); "
+                "the contacts-off / chunk-sweep / kernel-race / "
+                "measured-bandwidth-roofline matrix lives in BENCH_NOTES.md"
             ),
         },
     }

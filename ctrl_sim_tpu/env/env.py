@@ -282,7 +282,9 @@ class WaymoEnv:
                 heading=new_heading,
                 speed=new_speed,
                 velocity=velocity,
-                angular_velocity=bodies.angular_velocity,
+                # the kinematic contract has no angular state — carrying the
+                # pre-step physics value would record a stale rate
+                angular_velocity=jnp.zeros_like(bodies.angular_velocity),
                 throttle_accel=bodies.throttle_accel,
                 brake_accel=bodies.brake_accel,
             )

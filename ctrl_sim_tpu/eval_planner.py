@@ -63,6 +63,9 @@ def main(argv: list[str] | None = None) -> None:
     sample = store.sample_batch(jax.random.PRNGKey(0), 2)
     state = Trainer(cfg).init_state(jax.random.PRNGKey(0), sample)
     if args.ckpt:
+        from ctrl_sim_tpu.evals.evaluator import check_checkpoint_normalization
+
+        check_checkpoint_normalization(cfg, args.ckpt)
         state = CheckpointManager(cfg, args.ckpt).restore(state)
         print(f"[eval_planner] restored step {int(state.step)}")
 

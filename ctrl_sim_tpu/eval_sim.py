@@ -67,21 +67,9 @@ def main(argv: list[str] | None = None) -> None:
         # the checkpoint's snapshotted config records the training
         # normalization frame; it, not the eval-time flag, defines the
         # distribution the model was trained on
-        try:
-            train_cfg = CheckpointManager.load_config(args.ckpt)
-            trained_esn = bool(
-                train_cfg.get("waymo", {}).get("episode_start_normalization", False)
-            )
-            if trained_esn != cfg.waymo.episode_start_normalization:
-                raise SystemExit(
-                    f"checkpoint {args.ckpt} was trained with "
-                    f"waymo.episode_start_normalization={trained_esn} but the "
-                    f"eval config sets {cfg.waymo.episode_start_normalization}"
-                    " — pass the matching -o waymo.episode_start_normalization"
-                    " override (the streaming rollout requires True)."
-                )
-        except FileNotFoundError:
-            print("[eval] warning: checkpoint has no config.json snapshot")
+        from ctrl_sim_tpu.evals.evaluator import check_checkpoint_normalization
+
+        check_checkpoint_normalization(cfg, args.ckpt)
         mgr = CheckpointManager(cfg, args.ckpt)
         state = mgr.restore(state)
         print(f"[eval] restored step {int(state.step)} from {args.ckpt}")

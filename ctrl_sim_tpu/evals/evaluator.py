@@ -32,6 +32,53 @@ from ctrl_sim_tpu.rollout.rollout import run_closed_loop
 from ctrl_sim_tpu.rollout.streaming import run_streaming
 
 
+def check_streaming_normalization(cfg: Config) -> None:
+    """Refuse a streaming eval whose model was trained with window-anchored
+    frames: the streaming rollout normalizes at episode start, so the model
+    would see a different input distribution than training. Shared by
+    PolicyEvaluator and PlannerAdversaryEvaluator."""
+    if (
+        cfg.eval.rollout_mode == "streaming"
+        and not cfg.waymo.episode_start_normalization
+        and not cfg.eval.allow_normalization_mismatch
+    ):
+        raise ValueError(
+            "eval.rollout_mode='streaming' evaluates with an "
+            "episode-start normalization frame, but this config "
+            "trains with window-anchored frames "
+            "(waymo.episode_start_normalization=False) — the model "
+            "would see a different input distribution than it was "
+            "trained on. Either train/evaluate with "
+            "waymo.episode_start_normalization=True, use "
+            "eval.rollout_mode='exact', or acknowledge the mismatch "
+            "with eval.allow_normalization_mismatch=True."
+        )
+
+
+def check_checkpoint_normalization(cfg: Config, ckpt_dir: str) -> None:
+    """Cross-check a checkpoint's snapshotted training config against the
+    eval config's normalization frame (the snapshot, not the eval-time flag,
+    defines the distribution the model was trained on)."""
+    from ctrl_sim_tpu.training.checkpoint import CheckpointManager
+
+    try:
+        train_cfg = CheckpointManager.load_config(ckpt_dir)
+    except FileNotFoundError:
+        print("[eval] warning: checkpoint has no config.json snapshot")
+        return
+    trained_esn = bool(
+        train_cfg.get("waymo", {}).get("episode_start_normalization", False)
+    )
+    if trained_esn != cfg.waymo.episode_start_normalization:
+        raise SystemExit(
+            f"checkpoint {ckpt_dir} was trained with "
+            f"waymo.episode_start_normalization={trained_esn} but the "
+            f"eval config sets {cfg.waymo.episode_start_normalization}"
+            " — pass the matching -o waymo.episode_start_normalization"
+            " override (the streaming rollout requires True)."
+        )
+
+
 def _moving_vehicle_ids(scene: Scenario) -> list[int]:
     """getObjectsThatMoved equivalent (scenario.cc:940-951)."""
     return [int(i) for i in np.where(scene.moving & scene.agent_valid)[0]]
@@ -122,22 +169,7 @@ class PolicyEvaluator:
                 lambda sb, p, c, r, g: run_ctg_closed_loop(cfg, model, p, sb, c, r)
             )
         else:
-            if (
-                cfg.eval.rollout_mode == "streaming"
-                and not cfg.waymo.episode_start_normalization
-                and not cfg.eval.allow_normalization_mismatch
-            ):
-                raise ValueError(
-                    "eval.rollout_mode='streaming' evaluates with an "
-                    "episode-start normalization frame, but this config "
-                    "trains with window-anchored frames "
-                    "(waymo.episode_start_normalization=False) — the model "
-                    "would see a different input distribution than it was "
-                    "trained on. Either train/evaluate with "
-                    "waymo.episode_start_normalization=True, use "
-                    "eval.rollout_mode='exact', or acknowledge the mismatch "
-                    "with eval.allow_normalization_mismatch=True."
-                )
+            check_streaming_normalization(cfg)
             run_fn = (
                 run_streaming
                 if cfg.eval.rollout_mode == "streaming"

@@ -99,6 +99,11 @@ class PlannerAdversaryEvaluator:
         self.adversary_tilt = np.asarray(
             get_tilt_logits(at.goal_tilt, at.veh_veh_tilt, at.veh_edge_tilt, cfg.waymo)
         )
+        # same train/eval normalization-frame guard as PolicyEvaluator: a
+        # streaming planner eval of a window-anchored model is silently wrong
+        from ctrl_sim_tpu.evals.evaluator import check_streaming_normalization
+
+        check_streaming_normalization(cfg)
         run_fn = (
             run_streaming if cfg.eval.rollout_mode == "streaming" else run_closed_loop
         )

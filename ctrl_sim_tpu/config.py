@@ -373,6 +373,15 @@ class EvalConfig:
     # acknowledge (instead of refuse) evaluating a window-normalized
     # checkpoint in streaming mode — a train/eval distribution mismatch
     allow_normalization_mismatch: bool = False
+    # packed agent slots (streaming rollout only): 0 = full-width crops
+    # (waymo.max_num_agents slots, the reference layout). N < max_num_agents
+    # packs the N closest in-range agents into N model slots — the KV-cache
+    # DMA (the rollout's dominant cost) scales with slots, not real agents,
+    # so sparse scenes stop paying dead-slot traffic. Deviation vs
+    # full-width: pad slots' zero-embedding phantom keys are no longer
+    # attended (their count varies per training scene anyway); bounded at
+    # the metric level in tests/test_packed_slots.py.
+    agent_slots: int = 0
 
 
 # ---------------------------------------------------------------------------

@@ -4,11 +4,14 @@
       --torch /path/to/model.ckpt --out checkpoints/imported \
       --preset ctrl_sim [-o model.hidden_dim=256 ...]
 
-Reads the Lightning checkpoint's state_dict (models/ctrl_sim.py layout),
-maps it through the parity-proven transplant
+Reads the Lightning checkpoint's state_dict — models/ctrl_sim.py layout for
+the four CtRL-Sim families, models/ctg_plus_plus.py layout
+(``diff_model.model.*`` + optional ``rtg_model.*``) when the preset sets
+model.ctg_plus_plus — maps it through the parity-proven transplant
 (ctrl_sim_tpu/utils/torch_import.py — forward agreement <= 1e-4,
-tests/test_model_goldens.py), and writes an orbax checkpoint + config
-snapshot that eval_sim / eval_planner / train --ckpt consume directly.
+tests/test_model_goldens.py + tests/test_ctg_golden.py), and writes an
+orbax checkpoint + config snapshot that eval_sim / eval_planner /
+train --ckpt consume directly.
 """
 
 from __future__ import annotations
@@ -20,6 +23,7 @@ import jax
 from ctrl_sim_tpu.config import _set_dotted, preset
 from ctrl_sim_tpu.train import parse_overrides
 from ctrl_sim_tpu.utils.torch_import import (
+    ctg_params_from_torch_state,
     load_torch_checkpoint,
     params_from_torch_state,
 )
@@ -38,7 +42,10 @@ def main(argv: list[str] | None = None) -> None:
         cfg = _set_dotted(cfg, key, value)
 
     state_np = load_torch_checkpoint(args.torch)
-    params = params_from_torch_state(state_np, cfg)
+    if cfg.model.ctg_plus_plus:
+        params = ctg_params_from_torch_state(state_np, cfg)
+    else:
+        params = params_from_torch_state(state_np, cfg)
     n = sum(x.size for x in jax.tree.leaves(params))
     print(f"[import] mapped {len(state_np)} torch tensors -> {n:,} params")
 

@@ -171,23 +171,43 @@ class GaussianDiffusion(nn.Module):
         guidance_fn: Callable[[Array, dict], Array] | None = None,
         guide_scale: float = 0.1,
         n_guide_steps: int = 2,
+        noise_override: tuple[Array, Array] | None = None,
     ) -> Array:
         """Strided p_sample_loop (diffusion.py:154-186): x starts at
         0.5*N(0, I); n_eval steps strided over the train steps; noise scale
-        0.5; posterior step from the x0 prediction."""
+        0.5; posterior step from the x0 prediction.
+
+        ``noise_override = (x0_noise, step_noises[n_eval])`` substitutes an
+        explicit unit-normal noise stream for the jax RNG draws — used by
+        tests/test_ctg_golden.py to replay the executed torch reference's
+        recorded stream and compare final samples exactly."""
         mc = self.cfg.model
         s = self.schedule
         past = cond["agent_past_states"]
         B, N = past.shape[:2]
         shape = (B, N, self.horizon, self.transition_dim)
         rng, k0 = jax.random.split(rng)
-        x = 0.5 * jax.random.normal(k0, shape)
+        if noise_override is not None:
+            x = 0.5 * noise_override[0]
+        else:
+            x = 0.5 * jax.random.normal(k0, shape)
 
         stride = self.n_timesteps // mc.n_eval_diffusion_step
         ts = jnp.arange(0, self.n_timesteps, stride)[::-1]
 
-        def body(carry, i):
+        if self.is_initializing():
+            # flax cannot create params inside a lax.scan body (they would
+            # leak out of the scan trace): initialize the denoiser with one
+            # unrolled call instead of the sampling loop
+            self.denoise(x, cond, jnp.zeros((B,), jnp.int32))
+            return x
+
+        def body(carry, scan_in):
             x, rng = carry
+            if noise_override is not None:
+                i, step_noise = scan_in
+            else:
+                i = scan_in
             rng, k = jax.random.split(rng)
             t = jnp.full((B,), i, jnp.int32)
             x_recon = self.denoise(x, cond, t)
@@ -200,12 +220,16 @@ class GaussianDiffusion(nn.Module):
                     g = jax.grad(lambda xx: guidance_fn(xx, cond))(mean)
                     mean = mean - guide_scale * g
             log_var = _extract(s.posterior_log_variance_clipped, t, x.ndim)
-            noise = 0.5 * jax.random.normal(k, x.shape)
+            if noise_override is not None:
+                noise = 0.5 * step_noise
+            else:
+                noise = 0.5 * jax.random.normal(k, x.shape)
             nonzero = (i != 0).astype(x.dtype)
             x = mean + nonzero * jnp.exp(0.5 * log_var) * noise
             return (x, rng), None
 
-        (x, _), _ = jax.lax.scan(body, (x, rng), ts)
+        xs = (ts, noise_override[1]) if noise_override is not None else ts
+        (x, _), _ = jax.lax.scan(body, (x, rng), xs)
         return x
 
     def __call__(self, cond: dict, rng: Array) -> Array:

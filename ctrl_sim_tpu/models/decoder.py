@@ -259,11 +259,15 @@ class Decoder(nn.Module):
         future), and same-slot entries of a type not yet overwritten this
         step — which carry K/V from t-window but are labeled t — are masked
         by the index ordering itself.
+
+        The agent-slot count A is taken from the token shape (and must match
+        the cache), not from the config: the streaming rollout may run a
+        *packed* crop with fewer slots than waymo.max_num_agents (dead-slot
+        DMA is the rollout's dominant cost — see rollout/streaming.py).
         """
         mc = self.cfg.model
-        wc = self.cfg.waymo
         K = mc.num_token_types
-        A = wc.max_num_agents
+        A = groups[0][0].shape[1]
 
         slot_t = cache.slot_t
         writes = []  # (slot, token_type, row0) per group

@@ -185,6 +185,51 @@ def trivial_groups(
     )
 
 
+def packed_trivial_groups(
+    cfg: Config,
+    origin_idx: Array,  # [E]
+    relevant0: Array,  # [E, A] bool — in-range agents at t=0
+    controlled_mask: Array,  # [E, A] bool
+    gt_length: Array,  # [E, A]
+    dist0: Array,  # [E, A] — distance to the origin at t=0
+    crop_size: int,
+) -> GroupSpec:
+    """Single-group spec PACKED into ``crop_size`` <= max_num_agents slots.
+
+    The KV-cache DMA of the streaming rollout scales with model *slots*, not
+    real agents (BENCH_NOTES.md: 24- vs 12-agent scenes cost 0.4%), so
+    scenes whose in-range agent count fits a smaller crop shouldn't pay
+    full-width dead-slot traffic. Selection mirrors select_relevant_agents
+    (dataset.py:289-319): the ``crop_size`` *closest* in-range agents,
+    packed into the leading slots in original-index order — each kept agent
+    gets exactly the slot (and agent-id embedding) it would have had in a
+    full-width crop of the same scene. Traceable."""
+    E, A = controlled_mask.shape
+    # keep the crop_size closest relevant agents (ties: lower index first —
+    # np.argsort stable ascending, matching the reference's crop)
+    rank = jnp.argsort(jnp.where(relevant0, dist0, jnp.inf), axis=1, stable=True)
+    keep = (
+        jnp.zeros((E, A), bool)
+        .at[jnp.arange(E)[:, None], rank[:, :crop_size]]
+        .set(True)
+        & relevant0
+    )
+    # pack kept agents into leading slots, original-index order
+    idx = jnp.arange(A, dtype=jnp.int32)
+    key = jnp.where(keep, idx[None, :], A + idx[None, :])
+    order = jnp.argsort(key, axis=1)[:, :crop_size]  # [E, crop]
+    valid = jnp.take_along_axis(keep, order, axis=1)
+    members = jnp.where(valid, order.astype(jnp.int32), A)[:, None, :]
+    assigned = jnp.take_along_axis(controlled_mask & keep, order, axis=1)
+    return GroupSpec(
+        members=members,
+        member_valid=valid[:, None, :],
+        assigned=assigned[:, None, :],
+        group_valid=jnp.any(controlled_mask, axis=1, keepdims=True),
+        gt_length=gt_length.astype(jnp.float32),
+    )
+
+
 def gather_members(x: Array, members: Array) -> Array:
     """Gather per-agent data [E, A_sim, ...] into group slots [E, G, Am, ...].
     Pad slots (members == A_sim) read row 0; callers mask with member_valid."""

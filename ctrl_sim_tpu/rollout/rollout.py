@@ -156,12 +156,19 @@ def select_focal_agents(scenario: Scenario, controlled_mask) -> Array:
 
 
 def default_groups(
-    cfg: Config, scenario: Scenario, controlled_mask: Array
+    cfg: Config,
+    scenario: Scenario,
+    controlled_mask: Array,
+    crop_size: int | None = None,
 ) -> GroupSpec:
-    """Traceable single-group spec for scenes already at the crop size."""
+    """Traceable single-group spec for scenes already at the crop size.
+
+    ``crop_size`` < max_num_agents builds a PACKED spec (streaming only):
+    the crop_size closest in-range agents compressed into the leading model
+    slots — see rollout/groups.py:packed_trivial_groups."""
     wc = cfg.waymo
     tp = jnp.asarray(scenario.traj_position)
-    if tp.shape[1] != wc.max_num_agents:
+    if crop_size is None and tp.shape[1] != wc.max_num_agents:
         raise ValueError(
             f"scenes with more than max_num_agents={wc.max_num_agents} agent "
             f"slots (got {tp.shape[1]}) need host-built focal groups: pass "
@@ -177,6 +184,13 @@ def default_groups(
         & jnp.asarray(scenario.traj_valid)[:, :, 0]
     )
     gt_length = jnp.sum(jnp.asarray(scenario.traj_valid), axis=2)
+    if crop_size is not None and crop_size != tp.shape[1]:
+        from ctrl_sim_tpu.rollout.groups import packed_trivial_groups
+
+        return packed_trivial_groups(
+            cfg, origin_idx, relevant0, controlled_mask, gt_length, dist0,
+            crop_size,
+        )
     return trivial_groups(cfg, origin_idx, relevant0, controlled_mask, gt_length)
 
 

@@ -116,17 +116,32 @@ def run_streaming(
     env = WaymoEnv(cfg)
     steps = cfg.sim.steps
     window = wc.train_context_length
-    Am = wc.max_num_agents
     K = mc.num_token_types
     H = mc.hidden_dim
     dtype = jnp.dtype(mc.compute_dtype)
 
     if groups is None:
-        groups = default_groups(cfg, scenario, controlled_mask)
+        groups = default_groups(
+            cfg, scenario, controlled_mask,
+            crop_size=cfg.eval.agent_slots or None,
+        )
     groups = jax.tree.map(jnp.asarray, groups)
     G = groups.num_groups
-    if groups.crop_size != Am:
-        raise ValueError("GroupSpec crop size must equal waymo.max_num_agents")
+    # packed agent slots: the model crop may use FEWER slots than
+    # waymo.max_num_agents when every in-range agent fits (the KV-cache DMA
+    # is the rollout's dominant cost and scales with slots, not real agents
+    # — BENCH_NOTES.md). Slot a still gets agent-id embedding a, exactly the
+    # id the same agent would get in a full-width crop (members are packed
+    # in original-index order, pads at the tail). The single deviation vs a
+    # full-width crop: the model no longer attends the pad slots'
+    # zero-embedding "phantom" keys (their count varies per training scene
+    # anyway); measured at the metric level in tests/test_packed_slots.py.
+    Am = groups.crop_size
+    if Am > wc.max_num_agents:
+        raise ValueError(
+            f"GroupSpec crop size {Am} exceeds waymo.max_num_agents "
+            f"{wc.max_num_agents}"
+        )
 
     tp = jnp.asarray(scenario.traj_position)
     th = jnp.asarray(scenario.traj_heading)

@@ -100,6 +100,141 @@ class _W:
         }
 
 
+    # ---- CTG++ building blocks (modules/ctg_arch.py / rtg_model.py) ----
+
+    def social(self, p):
+        """RelativeSocialAttentionLayer (ctg_arch.py:48-193)."""
+        return {
+            "lin_q_node": self.linear(f"{p}.lin_q_node"),
+            "lin_k_node": self.linear(f"{p}.lin_k_node"),
+            "lin_k_edge": self.linear(f"{p}.lin_k_edge"),
+            "lin_v_node": self.linear(f"{p}.lin_v_node"),
+            "lin_v_edge": self.linear(f"{p}.lin_v_edge"),
+            "lin_self": self.linear(f"{p}.lin_self"),
+            "lin_ih": self.linear(f"{p}.lin_ih"),
+            "lin_hh": self.linear(f"{p}.lin_hh"),
+            "out_proj": self.linear(f"{p}.out_proj"),
+            "norm1": self.lnorm(f"{p}.norm1"),
+            "norm2": self.lnorm(f"{p}.norm2"),
+            "mlp_lin1": self.linear(f"{p}.mlp.0"),
+            "mlp_lin2": self.linear(f"{p}.mlp.3"),
+        }
+
+    def sie(self, p):
+        """SingleInputEmbedding (ctg_arch.py:196-213)."""
+        return {
+            "Dense_0": self.linear(f"{p}.embed.0"),
+            "LayerNorm_0": self.lnorm(f"{p}.embed.1"),
+            "Dense_1": self.linear(f"{p}.embed.3"),
+            "LayerNorm_1": self.lnorm(f"{p}.embed.4"),
+            "Dense_2": self.linear(f"{p}.embed.6"),
+            "LayerNorm_2": self.lnorm(f"{p}.embed.7"),
+        }
+
+    def ctg_map_encoder(self, p):
+        """MapEncoderPtsMA (ctg_arch.py:262-335)."""
+        return {
+            "road_pts_lin": self.linear(f"{p}.road_pts_lin.0"),
+            "map_seeds": jnp.asarray(self(f"{p}.map_seeds")),
+            "road_pts_attn_layer": self.mha(f"{p}.road_pts_attn_layer"),
+            "norm1": self.lnorm(f"{p}.norm1"),
+            "norm2": self.lnorm(f"{p}.norm2"),
+            "map_feats_lin1": self.linear(f"{p}.map_feats.0"),
+            "map_feats_lin2": self.linear(f"{p}.map_feats.3"),
+            "road_type_lin": self.linear(f"{p}.road_type_lin.0"),
+            "road_pt_type_mlp_lin1": self.linear(f"{p}.road_pt_type_mlp.0"),
+            "road_pt_type_mlp_lin2": self.linear(f"{p}.road_pt_type_mlp.3"),
+        }
+
+    def ctg_enc_layer(self, p):
+        return {
+            "self_attn": self.mha(f"{p}.self_attn"),
+            "linear1": self.linear(f"{p}.linear1"),
+            "linear2": self.linear(f"{p}.linear2"),
+            "norm1": self.lnorm(f"{p}.norm1"),
+            "norm2": self.lnorm(f"{p}.norm2"),
+        }
+
+    def ctg_trunk(self, p, num_layers):
+        t = {}
+        for i in range(num_layers):
+            for j in range(2):
+                t[f"temporal_{i}_{j}"] = self.ctg_enc_layer(
+                    f"{p}.temporal_attn_layers.{i}.layers.{j}"
+                )
+            t[f"social_{i}"] = self.social(f"{p}.social_attn_layers.{i}")
+            t[f"map_attn_{i}"] = self.mha(f"{p}.map_attn_layers.{i}")
+        return t
+
+    def skip(self, *names):
+        """Mark tensors consumed without mapping (frozen tables, buffers,
+        modules the reference constructs but never calls)."""
+        for k in list(self.store):
+            if any(k == n or k.startswith(n) for n in names):
+                self.used.add(k)
+
+
+def _ctg_dit_params(w: _W, cfg: Config, p: str) -> dict:
+    """DiT tree (ctg_arch.py:338-511) under torch prefix ``p``; parity
+    proven by tests/test_ctg_golden.py."""
+    mc = cfg.model
+    out = {
+        "embed_state_action": w.mlp(f"{p}.embed_state_action"),
+        "embed_goal": w.mlp(f"{p}.embed_goal"),
+        "embed_timestep": w.embed(f"{p}.embed_timestep"),
+        "embed_all_elements": w.mlp(f"{p}.embed_all_elements"),
+        # reference attribute name carries a typo: "diffustion_"
+        "diffusion_step_encoder": w.mlp(f"{p}.diffustion_step_encoder"),
+        "relative_encodings_encoder": w.sie(f"{p}.relative_encodings_encoder"),
+        "map_encoder": w.ctg_map_encoder(f"{p}.map_encoder"),
+        "trunk": w.ctg_trunk(p, mc.num_transformer_encoder_layers),
+        "output_mlp": w.mlp(f"{p}.output_mlp"),
+    }
+    if mc.use_rtg:
+        out["embed_rtg_goal"] = w.embed(f"{p}.embed_rtg_goal")
+        out["embed_rtg_veh"] = w.embed(f"{p}.embed_rtg_veh")
+        out["embed_rtg_road"] = w.embed(f"{p}.embed_rtg_road")
+        out["embed_rtg"] = w.linear(f"{p}.embed_rtg")
+    w.skip(f"{p}.pos_encoder.pe")  # frozen table, closed-form here
+    return out
+
+
+def ctg_params_from_torch_state(
+    state: Mapping[str, np.ndarray], cfg: Config, strict: bool = True
+) -> dict:
+    """Build the flax param tree for CTGPlusPlus from a reference CTG++
+    Lightning state dict (models/ctg_plus_plus.py: ``diff_model.model.*``
+    for the DiT denoiser, ``rtg_model.*`` when predict_rtg)."""
+    w = _W(state)
+    params = {"diffusion": {"model": _ctg_dit_params(w, cfg, "diff_model.model")}}
+    # the diffusion schedule buffers are recomputed bit-exactly
+    # (tests/test_ctg_golden.py::test_schedule_constants_match)
+    w.skip(
+        "diff_model.betas", "diff_model.alphas_cumprod",
+        "diff_model.sqrt_", "diff_model.log_one_minus",
+        "diff_model.posterior_", "diff_model.loss_fn.",
+    )
+    if any(k.startswith("rtg_model.") for k in w.store):
+        p = "rtg_model"
+        w.skip(f"{p}.pos_encoder.pe", f"{p}.diffustion_step_encoder.")
+        params["rtg_model"] = {
+            "embed_state_action": w.mlp(f"{p}.embed_state_action"),
+            "embed_goal": w.mlp(f"{p}.embed_goal"),
+            "embed_timestep": w.embed(f"{p}.embed_timestep"),
+            "embed_all_elements": w.mlp(f"{p}.embed_all_elements"),
+            "relative_encodings_encoder": w.sie(
+                f"{p}.relative_encodings_encoder"
+            ),
+            "map_encoder": w.ctg_map_encoder(f"{p}.map_encoder"),
+            "trunk": w.ctg_trunk(p, cfg.model.num_transformer_encoder_layers),
+            "predict_rtg": w.mlp(f"{p}.predict_rtg"),
+        }
+    unused = sorted(set(w.store) - w.used)
+    if strict and unused:
+        raise ValueError(f"torch tensors not mapped: {unused}")
+    return {"params": params}
+
+
 def params_from_torch_state(
     state: Mapping[str, np.ndarray], cfg: Config, strict: bool = True
 ) -> dict:

@@ -69,6 +69,13 @@ def main() -> None:
     # default ON (reference parity: the reference always simulates contacts);
     # BENCH_CONTACTS=0 measures the pass-through configuration (+7%)
     contacts = os.environ.get("BENCH_CONTACTS", "1") != "0"
+    # packed agent slots (round 4): the KV-cache DMA scales with model
+    # slots, not real agents, so the bench packs scenes into the smallest
+    # 8-multiple crop that fits every agent (eval.agent_slots; multiples of
+    # 8 keep the cache's agent dim sublane-tile-aligned — a 12-slot cache
+    # measured SLOWER than 24 because every update-slice misaligned).
+    # BENCH_SLOTS=0 restores full-width 24-slot crops; BENCH_SLOTS=N pins N.
+    slots_env = os.environ.get("BENCH_SLOTS", "auto")
 
     cfg = load_config(
         {
@@ -77,6 +84,23 @@ def main() -> None:
             "sim.resolve_contacts": contacts,
         }
     )
+    if slots_env == "auto":
+        agent_slots = min(
+            cfg.waymo.max_num_agents, ((bench_agents + 7) // 8) * 8
+        )
+        if agent_slots >= cfg.waymo.max_num_agents:
+            agent_slots = 0
+    else:
+        agent_slots = int(slots_env)
+    if agent_slots:
+        cfg = load_config(
+            {
+                "model.kv_cache_dtype": kv_dtype,
+                "model.cross_score_dtype": xscore,
+                "sim.resolve_contacts": contacts,
+                "eval.agent_slots": agent_slots,
+            }
+        )
     steps = cfg.sim.steps
 
     # one chunk of synthetic scenes, reused for every chunk (same shapes; the
@@ -162,6 +186,7 @@ def main() -> None:
             "envs": n_chunks * chunk,
             "chunk": chunk,
             "agents": bench_agents,
+            "agent_slots": agent_slots or cfg.waymo.max_num_agents,
             "lanes": bench_lanes,
             "contacts": contacts,
             "steps": steps,

@@ -115,6 +115,15 @@ def cached_decode_attention(
     head_dim = H // num_heads
     q = q * jnp.asarray(1.4426950408889634 / (head_dim ** 0.5), q.dtype)
 
+    # Mosaic requires sublane-dim slices 8-aligned: pad Q (e.g. the packed
+    # 12-slot single-group pass) with fully-masked rows, sliced off below
+    q_rows = Q
+    pad = (-Q) % 8
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+        mask_i8 = jnp.pad(mask_i8, ((0, pad), (0, 0)))
+        Q += pad
+
     kernel = functools.partial(_decode_kernel, num_heads)
     out = pl.pallas_call(
         kernel,
@@ -129,7 +138,7 @@ def cached_decode_attention(
         out_shape=jax.ShapeDtypeStruct((B, Q, H), q.dtype),
         interpret=interpret,
     )(q, k, v, mask_i8)
-    return out
+    return out[:, :q_rows] if pad else out
 
 
 def _attn_body_q8(num_heads, q, k_i8, v_i8, k_scale, v_scale, mask, o_ref):
@@ -189,6 +198,12 @@ def cached_decode_attention_q8(
     mask_i8 = mask.astype(jnp.int8)
     head_dim = H // num_heads
     q = q * jnp.asarray(1.4426950408889634 / (head_dim ** 0.5), q.dtype)
+    q_rows = Q
+    pad = (-Q) % 8  # see cached_decode_attention
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+        mask_i8 = jnp.pad(mask_i8, ((0, pad), (0, 0)))
+        Q += pad
     ks = k_scale[:, None, :]  # [B, 1, N] — trailing block dims must tile
     vs = v_scale[:, None, :]
 
@@ -208,7 +223,7 @@ def cached_decode_attention_q8(
         out_shape=jax.ShapeDtypeStruct((B, Q, H), q.dtype),
         interpret=interpret,
     )(q, k, v, ks, vs, mask_i8)
-    return out
+    return out[:, :q_rows] if pad else out
 
 
 def quantize_rows(x: Array) -> tuple[Array, Array]:

@@ -77,7 +77,17 @@ def make_optimizer(cfg: Config, params) -> optax.GradientTransformation:
 
 
 class Trainer:
-    """Owns the jitted, mesh-sharded train/eval steps."""
+    """Owns the jitted, mesh-sharded train/eval steps.
+
+    Trajectory parity vs the executed reference loop (model + compute_loss +
+    AdamW decay partition + LambdaLR + clip) is pinned by
+    tests/test_training_parity.py. One documented semantics note: the
+    reference hardwires torch's default dropout=0.1 in its transformer
+    layers (encoder.py:42-46 / decoder.py:16-21 never pass dropout;
+    cfg.model.dropout is ignored there), while this trainer wires
+    model.dropout through — identical at the default 0.1, divergent only
+    for non-default settings.
+    """
 
     def __init__(self, cfg: Config, mesh: MeshSpec | None = None):
         self.cfg = cfg

@@ -110,38 +110,56 @@ class WaymoEnv:
         ego_index: Array,  # [E] int — ego agent per scene
         max_visible_objects: int = 16,
         max_visible_lights: int = 20,
+        max_visible_road_points: int = 300,
+        max_visible_stop_signs: int = 4,
+        road_edge_first: bool = True,
         view_dist: float = 80.0,
         view_angle: float = jnp.pi * (120.0 / 180.0),
     ) -> dict:
         """Ego-centric partially-observable observation — the Nocturne
-        visible-state API (scenario.cc:391-548 EgoState/FlattenedVisibleState
-        + view_field.cc cone/occlusion filtering + scenario.cc:184-205
-        traffic-light features), batched over scenes.
+        visible-state API, all four blocks (scenario.cc:418-489
+        VisibleState: objects, road points, traffic lights, stop signs +
+        view_field.cc cone/occlusion filtering), batched over scenes.
 
         Returns a dict of fixed-shape arrays:
           ego_state        [E, 5]
           visible_mask     [E, A] bool (cone + occlusion)
-          visible_objects  [E, max_visible_objects, 8] nearest-first
+          visible_objects  [E, max_visible_objects, 13] nearest-first
+                           ([valid, dist, azimuth, length, width,
+                           rel_heading, rel_vel_heading, rel_speed,
+                           5-type one-hot])
+          road_points      [E, max_visible_road_points, 13] cone-filtered,
+                           occlusion-aware, road-edge-first
+                           ([valid, dist, azimuth, neighbor_dist,
+                           neighbor_azimuth, 8-type one-hot])
           traffic_lights   [E, max_visible_lights, 12] ([valid, dist,
                            azimuth, 9-state one-hot]); all-zero when the
                            scenario has no lights
+          stop_signs       [E, max_visible_stop_signs, 3] ([valid, dist,
+                           azimuth])
         """
         from ctrl_sim_tpu.env.observation import (
             ego_state as _ego_state,
             flattened_visible_state,
+            road_point_features,
+            stop_sign_features,
             visible_objects_mask,
         )
         from ctrl_sim_tpu.env.traffic_lights import (
             TrafficLights,
             visible_light_features,
         )
+        from ctrl_sim_tpu.geometry import obb_corners
 
         b = state.bodies
         length = jnp.asarray(scenario.length)
         width = jnp.asarray(scenario.width)
         goal = jnp.asarray(scenario.goal_position)
+        agent_type = jnp.asarray(scenario.agent_type)
+        roads = jnp.asarray(scenario.road_points)
+        road_types = jnp.asarray(scenario.road_types)
 
-        def one(pos, hd, spd, ln, wd, alive, ego, gp):
+        def one(pos, hd, spd, ln, wd, types, alive, ego, gp, rp, rt):
             vis = visible_objects_mask(
                 pos, hd, ln, wd, alive, ego,
                 view_dist=view_dist, view_angle=view_angle,
@@ -150,12 +168,28 @@ class WaymoEnv:
             fv = flattened_visible_state(
                 pos, hd, spd, ln, wd, vis, ego,
                 max_visible_objects=max_visible_objects,
+                agent_types=types,
             )
-            return vis, es, fv
+            # road points: occluders are the VISIBLE sight-blocking objects
+            # (scenario.cc:357-359 — VisibleRoadPoints runs after
+            # FilterVisibleObjects)
+            corners = obb_corners(pos, hd, ln, wd)
+            rpf = road_point_features(
+                rp, rt, pos[ego], hd[ego], corners, vis,
+                max_visible_road_points=max_visible_road_points,
+                road_edge_first=road_edge_first,
+                view_dist=view_dist, view_angle=view_angle,
+            )
+            ssf = stop_sign_features(
+                rp, rt, pos[ego], hd[ego],
+                max_visible_stop_signs=max_visible_stop_signs,
+                view_dist=view_dist, view_angle=view_angle,
+            )
+            return vis, es, fv, rpf, ssf
 
-        vis, es, fv = jax.vmap(one)(
-            b.position, b.heading, b.speed, length, width,
-            state.alive, ego_index, goal,
+        vis, es, fv, rpf, ssf = jax.vmap(one)(
+            b.position, b.heading, b.speed, length, width, agent_type,
+            state.alive, ego_index, goal, roads, road_types,
         )
 
         if scenario.tl_state is not None:
@@ -182,7 +216,9 @@ class WaymoEnv:
             "ego_state": es,
             "visible_mask": vis,
             "visible_objects": fv,
+            "road_points": rpf,
             "traffic_lights": tl,
+            "stop_signs": ssf,
         }
 
     # ------------------------------------------------------------------

@@ -12,7 +12,7 @@ per-step host crossings.
 Example
 -------
     obs, traj = observation_replay(cfg, scenario, ego_index)
-    obs["visible_objects"]  # [T, E, max_visible_objects, 8]
+    obs["visible_objects"]  # [T, E, max_visible_objects, 13]
 """
 
 from __future__ import annotations
@@ -34,6 +34,8 @@ def observation_replay(
     ego_index: Array,  # [E] int — ego agent per scene
     max_visible_objects: int = 16,
     max_visible_lights: int = 20,
+    max_visible_road_points: int = 300,
+    max_visible_stop_signs: int = 4,
     view_dist: float = 80.0,
     view_angle: float = float(jnp.pi) * (120.0 / 180.0),
 ) -> tuple[dict, dict]:
@@ -42,8 +44,10 @@ def observation_replay(
     Returns ``(obs, traj)``:
       obs: dict of time-major streams — ``ego_state`` [T, E, 5],
         ``visible_mask`` [T, E, A], ``visible_objects``
-        [T, E, max_visible_objects, 8], ``traffic_lights``
-        [T, E, max_visible_lights, 12] (see WaymoEnv.observe).
+        [T, E, max_visible_objects, 13], ``road_points``
+        [T, E, max_visible_road_points, 13], ``traffic_lights``
+        [T, E, max_visible_lights, 12], ``stop_signs``
+        [T, E, max_visible_stop_signs, 3] (see WaymoEnv.observe).
       traj: ``position`` [T, E, A, 2], ``reward8`` [T, E, A, 8] — the
         underlying privileged stream, for reward shaping / debugging.
     """
@@ -62,6 +66,8 @@ def observation_replay(
             scenario, env_state, ego_index,
             max_visible_objects=max_visible_objects,
             max_visible_lights=max_visible_lights,
+            max_visible_road_points=max_visible_road_points,
+            max_visible_stop_signs=max_visible_stop_signs,
             view_dist=view_dist, view_angle=view_angle,
         )
         accel, steer = inverse_bicycle_action(

@@ -14,7 +14,13 @@ Vectorized port of the reference's view-field + visible-state machinery:
 - ``flattened_visible_state``: fixed-size nearest-K visible-object features
   in the ego frame (scenario.cc:418-548 VisibleState/FlattenedVisibleState:
   per object [valid, dist, azimuth, length, width, rel_heading,
-  rel_velocity_heading, rel_speed]).
+  rel_velocity_heading, rel_speed, object-type one-hot]).
+- ``road_point_features``: nearest-K visible road points with
+  ``road_edge_first`` priority (scenario.cc:106-143 NearestKRoadPoints,
+  :165-182 ExtractRoadPointFeature; cone filter view_field.cc:196-202,
+  occlusion scenario.cc:49-76 VisibleRoadPoints).
+- ``stop_sign_features``: nearest-K stop signs (degenerate kStopSign
+  polylines), cone-filtered (scenario.cc:196-203, view_field.cc:172-180).
 
 CtRL-Sim's own pipeline does not consume these (it builds features from the
 dataset arrays), but they complete the simulator's observation surface for
@@ -125,10 +131,14 @@ def flattened_visible_state(
     visible: Array,  # [A] bool (from visible_objects_mask)
     ego_index: Array,
     max_visible_objects: int = 16,
+    agent_types: Array | None = None,  # [A] int (OBJECT_TYPES) or None
+    num_agent_types: int = 5,
 ) -> Array:
-    """[max_visible_objects, 8] nearest-first visible-object features in the
-    ego frame (scenario.cc:418-548): [valid, dist, azimuth, length, width,
-    rel_heading, rel_velocity_heading, rel_speed]."""
+    """[max_visible_objects, 8 + num_agent_types] nearest-first
+    visible-object features in the ego frame (scenario.cc:142-163
+    ExtractObjectFeature, kObjectFeatureSize = 13): [valid, dist, azimuth,
+    length, width, rel_heading, rel_velocity_heading, rel_speed,
+    object-type one-hot]."""
     A = positions.shape[0]
     ego_pos = positions[ego_index]
     ego_heading = headings[ego_index]
@@ -159,9 +169,154 @@ def flattened_visible_state(
         ],
         axis=-1,
     )  # [A, 8]
+    if agent_types is not None:
+        onehot = jax.nn.one_hot(
+            agent_types.astype(jnp.int32), num_agent_types, dtype=feats.dtype
+        )
+        feats = jnp.concatenate([feats, onehot], axis=-1)  # [A, 13]
     order = jnp.argsort(jnp.where(visible, dist, jnp.inf))
     feats = jnp.take(feats, order, axis=0)
     take = min(max_visible_objects, A)
-    out = jnp.zeros((max_visible_objects, 8), positions.dtype)
+    out = jnp.zeros((max_visible_objects, feats.shape[-1]), positions.dtype)
+    out = out.at[:take].set(feats[:take] * feats[:take, :1])
+    return out
+
+
+ROAD_EDGE_TYPE = 3  # RoadType::kRoadEdge (nocturne road.h:21-30)
+STOP_SIGN_TYPE = 4  # RoadType::kStopSign
+
+
+def road_point_features(
+    road_points: Array,  # [P, L, 3] (x, y, valid) — sampled polyline points
+    road_types: Array,  # [P, 8] one-hot (ROAD_TYPES == nocturne RoadType)
+    ego_pos: Array,  # [2]
+    ego_heading: Array,
+    blocker_corners: Array,  # [A, 4, 2] visible objects' OBBs
+    blocker_mask: Array,  # [A] bool — can_block_sight & visible
+    max_visible_road_points: int = 300,
+    road_edge_first: bool = True,
+    view_dist: float = 80.0,
+    view_angle: float = jnp.pi * (120.0 / 180.0),
+    head_angle: float = 0.0,
+) -> Array:
+    """[max_visible_road_points, 13] nearest-K visible road-point features
+    (scenario.cc:165-182 ExtractRoadPointFeature, kRoadPointFeatureSize=13):
+    [valid, dist, azimuth, neighbor_dist, neighbor_azimuth,
+    road-type one-hot(8)].
+
+    Visibility = view-cone containment (view_field.cc:196-202
+    FilterVisiblePoints) AND sight segment unblocked by any visible
+    sight-blocking object (scenario.cc:49-76 VisibleRoadPoints).
+    Selection = NearestKRoadPoints (scenario.cc:106-143): with
+    ``road_edge_first`` every kRoadEdge point ranks before every other
+    type, each group nearest-first.
+
+    Neighbor = the next sampled point on the polyline; a polyline's last
+    valid point neighbors itself (road.cc:45-60 InitRoadPoints — the same
+    rule applies at this storage's chunk boundaries, where the original
+    line was split into length-L rows).
+    """
+    P, L, _ = road_points.shape
+    pts = road_points[..., :2].reshape(P * L, 2)
+    valid = (road_points[..., 2] > 0).reshape(P * L)
+    # neighbor: next point in the row when valid, else self
+    nxt = jnp.concatenate(
+        [road_points[:, 1:, :], road_points[:, -1:, :]], axis=1
+    )
+    nbr = jnp.where(nxt[..., 2:3] > 0, nxt[..., :2], road_points[..., :2])
+    nbr = nbr.reshape(P * L, 2)
+    type_idx = jnp.argmax(road_types, axis=-1)  # [P]
+    is_pad = jnp.max(road_types, axis=-1) <= 0
+    type_idx = jnp.where(is_pad, 0, type_idx)
+    type_flat = jnp.repeat(type_idx, L)
+    # stop signs are StaticObjects in the reference (scenario.cc:1018-1021),
+    # never road points — this storage keeps them as degenerate kStopSign
+    # rows, so exclude them here (stop_sign_features serves them)
+    valid = valid & ~jnp.repeat(is_pad | (type_idx == STOP_SIGN_TYPE), L)
+
+    heading = normalize_angle(ego_heading + head_angle)
+    rel = pts - ego_pos[None]
+    dist = jnp.linalg.norm(rel, axis=-1)
+    azimuth = normalize_angle(jnp.arctan2(rel[:, 1], rel[:, 0]) - heading)
+    in_cone = (dist <= view_dist) & (jnp.abs(azimuth) <= view_angle / 2.0)
+
+    # occlusion by visible sight-blocking objects: segment ego -> point
+    p0 = jnp.broadcast_to(ego_pos[None], pts.shape)
+    blocked = jax.vmap(
+        lambda bc, bm: obb_segment_intersects(
+            jnp.broadcast_to(bc[None], (pts.shape[0], 4, 2)), p0, pts
+        )
+        & bm
+    )(blocker_corners, blocker_mask)  # [A, P*L]
+    occluded = jnp.any(blocked, axis=0)
+
+    vis = valid & in_cone & ~occluded
+
+    nbr_vec = nbr - pts
+    nbr_dist = jnp.linalg.norm(nbr_vec, axis=-1)
+    nbr_azimuth = normalize_angle(
+        jnp.arctan2(nbr_vec[:, 1], nbr_vec[:, 0]) - heading
+    )
+    # neighbor of a point with no neighbor (itself): azimuth of the zero
+    # vector — arctan2(0, 0) = 0, matching the C++ Vector2D::Angle()
+    feats = jnp.concatenate(
+        [
+            vis[:, None].astype(pts.dtype),
+            dist[:, None],
+            azimuth[:, None],
+            nbr_dist[:, None],
+            nbr_azimuth[:, None],
+            jax.nn.one_hot(type_flat, 8, dtype=pts.dtype),
+        ],
+        axis=-1,
+    )  # [P*L, 13]
+
+    if road_edge_first:
+        # lexicographic (not-edge, dist): every visible road-edge point
+        # before every visible other-type point, nearest-first within each
+        not_edge = (type_flat != ROAD_EDGE_TYPE).astype(pts.dtype)
+        key = jnp.where(vis, dist + not_edge * (2.0 * view_dist + 1e4), jnp.inf)
+    else:
+        key = jnp.where(vis, dist, jnp.inf)
+    order = jnp.argsort(key)
+    feats = jnp.take(feats, order, axis=0)
+    take = min(max_visible_road_points, feats.shape[0])
+    out = jnp.zeros((max_visible_road_points, 13), pts.dtype)
+    out = out.at[:take].set(feats[:take] * feats[:take, :1])
+    return out
+
+
+def stop_sign_features(
+    road_points: Array,  # [P, L, 3]
+    road_types: Array,  # [P, 8]
+    ego_pos: Array,  # [2]
+    ego_heading: Array,
+    max_visible_stop_signs: int = 4,
+    view_dist: float = 80.0,
+    view_angle: float = jnp.pi * (120.0 / 180.0),
+    head_angle: float = 0.0,
+) -> Array:
+    """[max_visible_stop_signs, 3] nearest-first stop-sign features
+    (scenario.cc:196-203 ExtractStopSignFeature, kStopSignsFeatureSize=3):
+    [valid, dist, azimuth]. Stop signs are the degenerate kStopSign
+    polylines' first points; visibility is view-cone containment
+    (FilterVisibleNonblockingObjects — stop signs neither block sight nor
+    get occluded, view_field.cc:172-180)."""
+    type_idx = jnp.argmax(road_types, axis=-1)
+    is_sign = (type_idx == STOP_SIGN_TYPE) & (jnp.max(road_types, axis=-1) > 0)
+    pos = road_points[:, 0, :2]  # [P, 2]
+    valid = is_sign & (road_points[:, 0, 2] > 0)
+
+    heading = normalize_angle(ego_heading + head_angle)
+    rel = pos - ego_pos[None]
+    dist = jnp.linalg.norm(rel, axis=-1)
+    azimuth = normalize_angle(jnp.arctan2(rel[:, 1], rel[:, 0]) - heading)
+    vis = valid & (dist <= view_dist) & (jnp.abs(azimuth) <= view_angle / 2.0)
+
+    feats = jnp.stack([vis.astype(pos.dtype), dist, azimuth], axis=-1)
+    order = jnp.argsort(jnp.where(vis, dist, jnp.inf))
+    feats = jnp.take(feats, order, axis=0)
+    take = min(max_visible_stop_signs, feats.shape[0])
+    out = jnp.zeros((max_visible_stop_signs, 3), pos.dtype)
     out = out.at[:take].set(feats[:take] * feats[:take, :1])
     return out

@@ -115,11 +115,14 @@ def test_observation_replay_stream():
 
     ego = jnp.zeros(2, jnp.int32)
     obs, traj = jax.jit(
-        lambda s, e: observation_replay(cfg, s, e, max_visible_objects=4)
+        lambda s, e: observation_replay(cfg, s, e, max_visible_objects=4,
+                                        max_visible_road_points=24)
     )(sb, ego)
 
     assert obs["ego_state"].shape == (10, 2, 5)
-    assert obs["visible_objects"].shape == (10, 2, 4, 8)
+    assert obs["visible_objects"].shape == (10, 2, 4, 13)
+    assert obs["road_points"].shape == (10, 2, 24, 13)
+    assert obs["stop_signs"].shape == (10, 2, 4, 3)
     assert obs["visible_mask"].shape == (10, 2, 5)
     assert np.isfinite(np.asarray(obs["ego_state"])).all()
     assert np.isfinite(np.asarray(traj["position"])).all()

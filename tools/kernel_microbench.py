@@ -576,6 +576,54 @@ def run_dma_pipe(nchunks, nbuf, name):
           f"K+V read {gbps:7.1f} GB/s")
 
 
+def run_block(lb, name, body=body_full):
+    """Round-4: LB lanes per grid program. At packed shapes the per-lane
+    K/V block shrinks (A=16 -> 1.57 MB) and per-program DMA efficiency
+    drops (341 GB/s at 1.2 MB vs 440 at 2.4 MB); batching LB lanes per
+    program restores big DMA blocks while the body loops over lanes."""
+    def kern(q_ref, k_ref, v_ref, mask_ref, o_ref):
+        for i in range(lb):
+            body(q_ref[i], k_ref[i], v_ref[i], mask_ref[:], o_ref.at[i])
+
+    f = pl.pallas_call(
+        kern,
+        grid=(B // lb,),
+        in_specs=[
+            pl.BlockSpec((lb, Q, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, N, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lb, N, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, N), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((lb, Q, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Q, H), jnp.bfloat16),
+    )
+
+    @jax.jit
+    def many(q, k, v, mask):
+        def step(c, _):
+            o = f(q + c.astype(jnp.bfloat16) * 0, k, v, mask)
+            return c + 1, o[0, 0, 0]
+
+        c, ys = jax.lax.scan(step, jnp.asarray(0, jnp.int32), None, length=REPS)
+        return ys
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, Q, H)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, N, H)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, N, H)), jnp.bfloat16)
+    mask = jnp.asarray(rng.random((Q, N)) > 0.3, jnp.int8)
+    out = many(q, k, v, mask)
+    float(np.asarray(out).sum())
+    t0 = time.time()
+    out = many(q, k, v, mask)
+    s = float(np.asarray(out).sum())
+    dt = time.time() - t0
+    per_call = dt / REPS * 1e6
+    gbps = (2 * N * H * 2 * B) / (dt / REPS) / 1e9
+    print(f"{name:20s} B={B:3d} {per_call:8.1f} us/call   "
+          f"K+V read {gbps:7.1f} GB/s   (checksum {s:.1f})")
+
+
 def main():
     which = sys.argv[1:] or ["sweep"]
     print(f"Q={Q} N={N} H={H} heads={HEADS}, {REPS} reps under one jit")
@@ -605,6 +653,10 @@ def main():
         run_split(1, "dma_split1")
         run_split(2, "dma_split2")
         run_split(4, "dma_split4")
+    if "block" in which:
+        run(body_full, "full_lb1")
+        for lb in (2, 4, 8):
+            run_block(lb, f"full_lb{lb}")
     if "pipe" in which:
         run_split(1, "dma_split1")  # auto-pipeline baseline, same shapes
         for nchunks, nbuf in ((2, 2), (4, 2), (8, 2), (8, 4), (16, 4)):

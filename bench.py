@@ -50,11 +50,12 @@ def main() -> None:
     from ctrl_sim_tpu.rollout.streaming import run_streaming
 
     mode = os.environ.get("BENCH_MODE", "streaming")
-    total_envs = int(os.environ.get("BENCH_ENVS", "1152"))
-    # chunk (lanes per jitted call): swept 64/128/192/256 in round 3 — 192
-    # is the knee (13.9k, +4.5% over 128); 256 collapses 4.5x (XLA
-    # pathology at that batch, BENCH_NOTES). 1152 envs = 6 x 192 lanes
-    chunk = int(os.environ.get("BENCH_CHUNK", "192" if mode == "streaming" else "32"))
+    total_envs = int(os.environ.get("BENCH_ENVS", "1024"))
+    # chunk (lanes per jitted call): round-4 sweep at 16 packed slots —
+    # 128: 16.4k, 192: 17.3k, 256: 17.5k (best), 384: 17.1k. (Round 3's
+    # chunk-256 collapse was specific to the 24-slot shapes; it does not
+    # occur at the packed layout.) 1024 envs = 4 x 256 lanes
+    chunk = int(os.environ.get("BENCH_CHUNK", "256" if mode == "streaming" else "32"))
     # scene realism knobs: default 12 agents / 4 lanes matches rounds 1-2;
     # BENCH_AGENTS=24 fills every model slot, BENCH_LANES raises the
     # road-edge segment count the collision/reward path scans

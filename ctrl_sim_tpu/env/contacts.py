@@ -18,10 +18,12 @@ impulse solver over the dense [A, A] contact matrix:
   2-point manifold; a 1-point approximation is the documented simplification);
 - mass/inertia from the fixture: m = rho * L * W, I = m (L^2 + W^2) / 12
   (b2PolygonShape::ComputeMass for SetAsBox);
-- velocity pass: ``velocity_iterations`` Jacobi sweeps of accumulated-impulse
-  normal (clamped >= 0, restitution 0) + friction (|lambda_t| <= mu lambda_n)
-  updates — Box2D runs Gauss-Seidel; Jacobi converges equally well at the
-  1-2 contacts/vehicle these scenes produce and keeps every pair data-parallel;
+- velocity pass: ``velocity_iterations`` sweeps; within each sweep every
+  pair's 2-point normal LCP is solved EXACTLY in closed form (the same 2x2
+  block solver b2ContactSolver uses, vectorized over the four active-set
+  cases), then friction per point (|lambda_t| <= mu lambda_n) — pairs are
+  Jacobi w.r.t. each other (Box2D is Gauss-Seidel across contacts; at the
+  1-2 contacts/vehicle these scenes produce the fixed points agree);
 - position pass: ``position_iterations`` Baumgarte sweeps pushing the bodies
   apart along the contact normal by beta * (depth - slop), split by inverse
   mass (linear-only; Box2D also rotates — second documented simplification).
@@ -34,11 +36,12 @@ re-integrated bodies.
 
 Enabled with ``sim.resolve_contacts`` (default ON — the reference always
 simulates contacts). The solver is pinned against EXECUTED Box2D collision
-streams in tests/test_physics_goldens.py (head-on 0.010 m / t-bone 0.97 m
-final deviation vs 14-19 m if contacts were ignored — the t-bone bound
-reflects the point-parallel Jacobi + frozen-correction-geometry speedups
-below); solver-internal invariants (momentum, inelasticity) live in
-tests/test_contacts.py, with deviation numbers in COMPONENTS.md.
+streams in tests/test_physics_goldens.py over four fixtures (final
+deviation vs 14-26 m pass-through: head-on 0.010 m, t-bone 0.43 m, 3-car
+pileup 0.15 m, oblique/glancing 2.35 m — the last carries the
+impact-instant manifold-placement approximation); solver-internal
+invariants (momentum, inelasticity) live in tests/test_contacts.py, with
+deviation numbers in COMPONENTS.md.
 """
 
 from __future__ import annotations
@@ -190,9 +193,25 @@ def _solve_velocities(
     inv_m2 = inv_m[:, None, None] + inv_m[None, :, None]
     kn = inv_m2 + rin**2 * inv_i[:, None, None] + rjn**2 * inv_i[None, :, None]
     kt = inv_m2 + rit**2 * inv_i[:, None, None] + rjt**2 * inv_i[None, :, None]
+    # off-diagonal normal coupling between the two manifold points
+    # (b2ContactSolver::b2ContactSolver K(0,1))
+    k12 = (
+        inv_m2[..., 0]
+        + rin[..., 0] * rin[..., 1] * inv_i[:, None]
+        + rjn[..., 0] * rjn[..., 1] * inv_i[None, :]
+    )  # [A, A]
     solvable = touching[..., None] & (kn > 0.0)
     kn = jnp.where(kn > 0.0, kn, 1.0)
     kt = jnp.where(kt > 0.0, kt, 1.0)
+    # block solve only when K is well-conditioned (Box2D
+    # k_maxConditionNumber = 1000); degenerate manifolds (coincident
+    # points) fall back to the relaxed per-point update
+    det = kn[..., 0] * kn[..., 1] - k12 * k12
+    well_cond = (
+        jnp.all(solvable, axis=-1)
+        & (kn[..., 0] * kn[..., 0] < 1000.0 * det)
+    )
+    det_safe = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
 
     def apply_points(v, w, imp_n_delta, imp_t_delta):
         # impulse P[i,j,p] acts +P on j, -P on i; both points applied at once
@@ -224,28 +243,70 @@ def _solve_velocities(
 
     def body(_, carry):
         v, w, acc_n, acc_t = carry
-        # both manifold points are solved Jacobi-simultaneously per
-        # iteration (Box2D orders them sequentially; at 8 iterations the
-        # fixed point is the same and the parallel form halves the op count
-        # inside the rollout scan — executed-Box2D deviation bounds in
-        # tests/test_physics_goldens.py cover the difference)
+        # ---- normal impulses: exact 2x2 block LCP per pair ---------------
+        # Box2D's block solver (b2ContactSolver::SolveVelocityConstraints):
+        # find x >= 0 with vn' = K x + b complementarity, b = vn - K a.
+        # Solved in closed form over the four active-set cases and selected
+        # by mask — one exact solve per pair per sweep instead of the
+        # 0.5-relaxed per-point update (which cost the t-bone fixture
+        # 0.42 -> 0.97 m vs executed Box2D). Pairs remain Jacobi w.r.t.
+        # each other.
         vn = jnp.sum(vrel(v, w) * n_p, axis=-1)  # [A, A, P]
-        # 0.5 relaxation: both manifold points push the same normal, so the
-        # simultaneous update would double-apply and oscillate
-        dn = jnp.where(solvable, -0.5 * vn / kn, 0.0)
-        new_n = jnp.maximum(acc_n + dn, 0.0)
+        Ka = jnp.stack(
+            [
+                kn[..., 0] * acc_n[..., 0] + k12 * acc_n[..., 1],
+                k12 * acc_n[..., 0] + kn[..., 1] * acc_n[..., 1],
+            ],
+            axis=-1,
+        )
+        b = vn - Ka  # [A, A, 2]
+        # case 1: both points active, x = -K^-1 b
+        x1_0 = (-kn[..., 1] * b[..., 0] + k12 * b[..., 1]) / det_safe
+        x1_1 = (k12 * b[..., 0] - kn[..., 0] * b[..., 1]) / det_safe
+        ok1 = well_cond & (x1_0 >= 0.0) & (x1_1 >= 0.0)
+        # case 2: point 0 active only
+        x2_0 = -b[..., 0] / kn[..., 0]
+        ok2 = (x2_0 >= 0.0) & (k12 * x2_0 + b[..., 1] >= 0.0)
+        # case 3: point 1 active only
+        x3_1 = -b[..., 1] / kn[..., 1]
+        ok3 = (x3_1 >= 0.0) & (k12 * x3_1 + b[..., 0] >= 0.0)
+        # case 4: separating at both points
+        ok4 = (b[..., 0] >= 0.0) & (b[..., 1] >= 0.0)
+        pick1 = ok1
+        pick2 = ~pick1 & ok2
+        pick3 = ~pick1 & ~pick2 & ok3
+        pick4 = ~pick1 & ~pick2 & ~pick3 & ok4
+        # no case valid (rare numeric corner): relaxed per-point fallback
+        fallback = ~(pick1 | pick2 | pick3 | pick4)
+        xf = jnp.maximum(acc_n - 0.5 * vn / kn, 0.0)
+        x0 = jnp.where(
+            pick1, x1_0,
+            jnp.where(pick2, x2_0, jnp.where(pick3 | pick4, 0.0, xf[..., 0])),
+        )
+        x1 = jnp.where(
+            pick1, x1_1,
+            jnp.where(pick3, x3_1, jnp.where(pick2 | pick4, 0.0, xf[..., 1])),
+        )
+        new_n = jnp.stack([x0, x1], axis=-1)
+        new_n = jnp.where(solvable, new_n, 0.0)
+        # degenerate manifolds (ill-conditioned K): relaxed per-point update
+        deg = ~well_cond[..., None] & solvable
+        new_n = jnp.where(deg, jnp.maximum(acc_n - 0.5 * vn / kn, 0.0), new_n)
+        del fallback
         dn = new_n - acc_n
         acc_n = new_n
         v, w = apply_points(v, w, dn, jnp.zeros_like(dn))
 
-        # friction against the updated velocities, |acc_t| <= mu * acc_n
-        vt = jnp.sum(vrel(v, w) * t_p, axis=-1)
-        dt_ = jnp.where(solvable, -0.5 * vt / kt, 0.0)
-        hi = FRICTION * new_n
-        new_t = jnp.clip(acc_t + dt_, -hi, hi)
-        dt_ = new_t - acc_t
-        acc_t = new_t
-        v, w = apply_points(v, w, jnp.zeros_like(dt_), dt_)
+        # ---- friction, sequentially per manifold point (Box2D solves each
+        # tangent constraint Gauss-Seidel), |acc_t| <= mu * acc_n ----------
+        for sel in (jnp.asarray([1.0, 0.0]), jnp.asarray([0.0, 1.0])):
+            vt = jnp.sum(vrel(v, w) * t_p, axis=-1)
+            dt_ = jnp.where(solvable, -vt / kt, 0.0) * sel
+            hi = FRICTION * acc_n
+            new_t = jnp.clip(acc_t + dt_, -hi, hi)
+            dt_ = jnp.where(sel > 0, new_t - acc_t, 0.0)
+            acc_t = jnp.where(sel > 0, new_t, acc_t)
+            v, w = apply_points(v, w, jnp.zeros_like(dt_), dt_)
         return v, w, acc_n, acc_t
 
     zeros = jnp.zeros_like(kn)

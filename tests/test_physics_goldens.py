@@ -95,11 +95,26 @@ def test_contact_free_parity(goldens, name):
     assert sp_err < 1e-4, f"{name}: speed err {sp_err}"
 
 
-@pytest.mark.parametrize("name", ["collide_headon", "collide_tbone"])
+# per-fixture absolute deviation bounds (m), ~1.5x the measured values of
+# the 2x2-block-LCP solver (round 4: headon 0.010, tbone 0.432, oblique
+# 2.354, pileup3 0.153) — the oblique glancing case carries the largest
+# manifold-placement approximation (impact-instant torque arm)
+_FINAL_BOUND = {
+    "collide_headon": 0.05,
+    "collide_tbone": 0.5,
+    "collide_oblique": 3.0,
+    "pileup3": 0.3,
+}
+
+
+@pytest.mark.parametrize(
+    "name", ["collide_headon", "collide_tbone", "collide_oblique", "pileup3"]
+)
 def test_collision_parity(goldens, name):
     """Exact parity before contact; bounded deviation vs the real Box2D
-    solver after (the contact solver's Jacobi/manifold simplifications are
-    documented in env/contacts.py)."""
+    solver after (the contact solver's manifold simplifications are
+    documented in env/contacts.py). Fixtures cover head-on, t-bone,
+    oblique/glancing, and a 3-car pileup (multi-body coupling)."""
     init = goldens[f"{name}_init"]
     actions = goldens[f"{name}_actions"]
     ref = goldens[f"{name}_states"]
@@ -120,17 +135,18 @@ def test_collision_parity(goldens, name):
     assert err[: contact_t - 1].max() < 2e-4, (
         f"{name}: pre-contact err {err[:contact_t - 1].max()}"
     )
-    # post-contact: our solver must do far better than ignoring contacts
+    # post-contact: the solver must capture >=80% of the contact effect
     ours_final = err[-1].max()
     nocontact_final = np.linalg.norm(
         free[-1, :, :2] - ref[-1, :, :2], axis=-1
     ).max()
-    assert ours_final < 0.5 * nocontact_final, (
+    assert ours_final < 0.2 * nocontact_final, (
         f"{name}: solver deviation {ours_final:.3f} m vs pass-through "
         f"{nocontact_final:.3f} m"
     )
-    # absolute bound on the documented approximation gap
-    assert ours_final < 2.0, f"{name}: post-contact deviation {ours_final:.3f} m"
+    assert ours_final < _FINAL_BOUND[name], (
+        f"{name}: post-contact deviation {ours_final:.3f} m"
+    )
 
 
 def test_velocity_readback_matches_engine(goldens):

@@ -122,6 +122,44 @@ def fixture_collide_tbone(rng: np.random.Generator):
     return init, actions
 
 
+def fixture_collide_oblique(rng: np.random.Generator):
+    """Two cars converging at ~45 degrees — a glancing contact whose
+    manifold normal aligns with neither box axis cleanly; exercises the
+    friction/tangent path far more than head-on or t-bone."""
+    init = np.array(
+        [
+            [2.0, 4.5, 0.0, 0.0, 0.0, 8.0],
+            [2.0, 4.5, 28.0, -10.0, 3.0 * np.pi / 4.0, 7.0],
+        ],
+        dtype=np.float32,
+    )
+    T = 40
+    actions = np.zeros((T, 2, 2), dtype=np.float32)
+    actions[:, :, 0] = 0.4
+    return init, actions
+
+
+def fixture_pileup3(rng: np.random.Generator):
+    """Three-car same-lane chain: a hard-braking lead, a coasting middle,
+    a fast throttling tail — sequential rear-end impacts pile up, so one
+    pair's response feeds the other within single steps (the multi-body
+    regime the frozen-correction-geometry approximation documents)."""
+    init = np.array(
+        [
+            [2.0, 4.5, 0.0, 0.0, 0.0, 13.0],
+            [2.0, 4.5, 14.0, 0.2, 0.0, 7.0],
+            [2.0, 4.5, 27.0, -0.2, 0.0, 3.0],
+        ],
+        dtype=np.float32,
+    )
+    T = 50
+    actions = np.zeros((T, 3, 2), dtype=np.float32)
+    actions[:, 0, 0] = 0.6   # tail keeps pushing
+    actions[:, 1, 0] = 0.0
+    actions[:, 2, 0] = -0.8  # lead brakes hard
+    return init, actions
+
+
 def main() -> None:
     if not os.path.exists(DRIVER):
         subprocess.run(
@@ -135,6 +173,8 @@ def main() -> None:
         ("brake", fixture_brake),
         ("collide_headon", fixture_collide_headon),
         ("collide_tbone", fixture_collide_tbone),
+        ("collide_oblique", fixture_collide_oblique),
+        ("pileup3", fixture_pileup3),
     ]:
         init, actions = fn(rng)
         states = run_driver(init, actions)

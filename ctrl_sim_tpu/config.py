@@ -373,6 +373,15 @@ class EvalConfig:
     # acknowledge (instead of refuse) evaluating a window-normalized
     # checkpoint in streaming mode — a train/eval distribution mismatch
     allow_normalization_mismatch: bool = False
+    # streaming sub-pass structure (default CtRL-Sim family only):
+    #   2 — fused action deferral: the t-1 action tokens ride the t state
+    #       pass (1.5x less cache traffic; their receptive field misses the
+    #       single oldest window step — models/ctrl_sim.py:131-135)
+    #   3 — faithful sequential decode (reference order,
+    #       autoregressive_policy.py:189-210); the A/B control for the
+    #       deferral, equal to 2-pass BIT-EXACTLY while the episode still
+    #       fits the window (tests/test_streaming_passes.py)
+    streaming_passes: int = 2
     # packed agent slots (streaming rollout only): 0 = full-width crops
     # (waymo.max_num_agents slots, the reference layout). N < max_num_agents
     # packs the N closest in-range agents into N model slots — the KV-cache

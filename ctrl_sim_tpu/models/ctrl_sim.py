@@ -161,6 +161,42 @@ class CtRLSim(nn.Module):
         )
         return x[:, A:], cache
 
+    def stream_prev_action(
+        self,
+        prev_actions: Array,  # [B, A] discrete ids applied at step t-1
+        prev_existence: Array,  # [B, A]
+        t: Array,
+        cache,
+        memory: Array,
+        memory_valid: Array,
+        window: int,
+        memory_kv: tuple | None = None,
+    ):
+        """Sequential 3-pass variant of the action deferral
+        (eval.streaming_passes=3): the t-1 action tokens are decoded in
+        their OWN pass BEFORE this step's state tokens overwrite the
+        t-window ring slot, so their receptive field covers the full
+        window — matching the reference's sequential decode order
+        (autoregressive_policy.py:189-210) at 1.5x the fused path's cache
+        traffic. Outputs are discarded; only the cache write matters."""
+        A = prev_actions.shape[1]
+        a_ids = jnp.broadcast_to(
+            jnp.arange(A)[None, :], prev_actions.shape[:2]
+        ).astype(jnp.int32)
+        t_prev = t - 1
+        emb = self.encoder.embed_action_tokens(
+            prev_actions,
+            jnp.full_like(a_ids, jnp.maximum(t_prev, 0)),
+            a_ids,
+            prev_existence[..., None],
+        )
+        emb = self.encoder.embed_ln(emb)
+        k = self.cfg.model.num_token_types - 1
+        return self.decoder.decode_step(
+            emb, k, t_prev, cache, memory, memory_valid, window,
+            memory_kv=memory_kv,
+        )
+
     def stream_rtg(
         self,
         rtg_bins: Array,  # [B, A, 3]

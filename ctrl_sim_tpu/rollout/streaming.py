@@ -431,6 +431,48 @@ def run_streaming(
             # decay AFTER this step's tokens were embedded: the next step's
             # rtg token carries the decayed value (policy_evaluator.py:146-149)
             rtg_rt = rtg_rt - dt_dense_reward3(cfg, scenario, env_state, reward8)
+        elif cfg.eval.streaming_passes >= 3:
+            # faithful sequential decode (the A/B control for the fused
+            # action deferral): t-1 actions get their own pass BEFORE the
+            # state slot overwrite, so their receptive field is the full
+            # window — reference order at 1.5x cache traffic
+            _, cache = model.apply(
+                params,
+                method=lambda m: m.stream_prev_action(
+                    carry.prev_action_ids, carry.prev_exist, t, carry.cache,
+                    memory, memory_valid, window, memory_kv=memory_kv,
+                ),
+            )
+            x_state, cache = model.apply(
+                params,
+                method=lambda m: m.stream_state(
+                    states12, n_goals, model_exist, t, cache, memory,
+                    memory_valid, window, memory_kv=memory_kv,
+                ),
+            )
+            if pc.predict_rtgs:
+                rtg_logits = model.apply(
+                    params, x_state, method=lambda m, x: m.rtg_head(x)
+                ).reshape(E, G, Am, wc.rtg_discretization, 3)
+                contrib = model_exist_g & group_alive[..., None]
+                table_logits, covered = scatter_by_rank(
+                    rtg_logits, groups.members, contrib, A
+                )
+                rtg_bins_ag = sample_tilted_rtgs(k_rtg, table_logits, agent_tilt)
+                rtg_cont = tf.undiscretize_rtgs(rtg_bins_ag, wc) * covered[..., None]
+                rtg_bins = eg(
+                    gather_members(rtg_bins_ag, groups.members)
+                ) * model_exist[..., None].astype(jnp.int32)
+            else:
+                rtg_bins = jnp.zeros((EG, Am, 3), jnp.int32)
+
+            x_for_action, cache = model.apply(
+                params,
+                method=lambda m: m.stream_rtg(
+                    rtg_bins, model_exist, t, cache, memory, memory_valid,
+                    window, memory_kv=memory_kv,
+                ),
+            )
         else:
             # default CtRL-Sim: TWO passes — (prev action + state), then
             # (sampled rtg) whose output row feeds the action head

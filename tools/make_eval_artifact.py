@@ -17,7 +17,14 @@ tests/test_eval_artifact.py regression-checks the committed JSONs' keys and
 ranges, so a change that breaks the closed loop (or silently degrades its
 metrics) fails CI.
 
-Run (CPU, repo root; ~10-20 min):
+Round 4 scale-up (VERDICT r3 item 7): 8k training steps, 256-scene
+exact/streaming evals, a 32-scene planner table, and the fused-2-pass vs
+sequential-3-pass streaming A/B over two eval seeds
+(eval_r04_passes_ab.json) that bounds the action-deferral deviation at the
+metric level (VERDICT r3 item 6).
+
+Run (CPU, repo root; several hours at the round-4 defaults — set
+ARTIFACT_STEPS/ARTIFACT_SCENES/ARTIFACT_EVAL_SCENES smaller for a smoke):
     python tools/make_eval_artifact.py
 """
 
@@ -66,8 +73,10 @@ def run(mod: str, *args: str) -> None:
 
 def main() -> None:
     os.makedirs(ART, exist_ok=True)
-    steps = os.environ.get("ARTIFACT_STEPS", "1500")
-    scenes = os.environ.get("ARTIFACT_SCENES", "24")
+    steps = os.environ.get("ARTIFACT_STEPS", "8000")
+    scenes = os.environ.get("ARTIFACT_SCENES", "48")
+    eval_scenes = os.environ.get("ARTIFACT_EVAL_SCENES", "256")
+    ab_scenes = os.environ.get("ARTIFACT_AB_SCENES", "128")
     only = os.environ.get("ARTIFACT_ONLY", "")  # e.g. "planner" to redo one leg
     ckpt_a = os.path.join(ART, "ckpt_a")  # gitignored; kept for leg reruns
     ckpt_b = os.path.join(ART, "ckpt_b")
@@ -97,9 +106,9 @@ def main() -> None:
         run(
             "ctrl_sim_tpu.eval_sim", *SMALL,
             "-o", "eval.rollout_mode=exact",
-            "-o", "eval.num_files_to_evaluate=12",
-            "--ckpt", ckpt_a, "--synthetic", "12", "--lane_batch", "12",
-            "--out", os.path.join(ART, "eval_r03_exact.json"),
+            "-o", f"eval.num_files_to_evaluate={eval_scenes}",
+            "--ckpt", ckpt_a, "--synthetic", eval_scenes, "--lane_batch", "32",
+            "--out", os.path.join(ART, "eval_r04_exact.json"),
         )
     if not only or only in ("a", "planner"):
         run(
@@ -107,7 +116,7 @@ def main() -> None:
             "-o", "eval.rollout_mode=exact",
             "--ckpt", ckpt_a, "--synthetic", "8", "--synthetic_agents", "6",
             "--lane_batch", "8",
-            "--out", os.path.join(ART, "eval_r03_planner.json"),
+            "--out", os.path.join(ART, "eval_r04_planner.json"),
         )
 
     if not only or only == "b":
@@ -125,12 +134,34 @@ def main() -> None:
             "ctrl_sim_tpu.eval_sim", *SMALL,
             "-o", "waymo.episode_start_normalization=true",
             "-o", "eval.rollout_mode=streaming",
-            "-o", "eval.num_files_to_evaluate=12",
-            "--ckpt", ckpt_b, "--synthetic", "12", "--lane_batch", "12",
-            "--out", os.path.join(ART, "eval_r03_streaming.json"),
+            "-o", f"eval.num_files_to_evaluate={eval_scenes}",
+            "--ckpt", ckpt_b, "--synthetic", eval_scenes, "--lane_batch", "32",
+            "--out", os.path.join(ART, "eval_r04_streaming.json"),
         )
 
-    for name in ("eval_r03_exact", "eval_r03_planner", "eval_r03_streaming"):
+    if not only or only == "ab":
+        # ---- fused 2-pass vs sequential 3-pass streaming A/B ----------
+        ab: dict = {}
+        for seed in (0, 1):
+            for passes in (2, 3):
+                out = os.path.join(ART, f"_ab_s{seed}_p{passes}.json")
+                run(
+                    "ctrl_sim_tpu.eval_sim", *SMALL,
+                    "-o", "waymo.episode_start_normalization=true",
+                    "-o", "eval.rollout_mode=streaming",
+                    "-o", f"eval.streaming_passes={passes}",
+                    "-o", f"eval.seed={seed}",
+                    "-o", f"eval.num_files_to_evaluate={ab_scenes}",
+                    "--ckpt", ckpt_b, "--synthetic", ab_scenes,
+                    "--lane_batch", "32", "--out", out,
+                )
+                with open(out) as f:
+                    ab[f"seed{seed}_passes{passes}"] = json.load(f)
+                os.remove(out)
+        with open(os.path.join(ART, "eval_r04_passes_ab.json"), "w") as f:
+            json.dump(ab, f, indent=2)
+
+    for name in ("eval_r04_exact", "eval_r04_planner", "eval_r04_streaming"):
         path = os.path.join(ART, name + ".json")
         with open(path) as f:
             m = json.load(f)

@@ -211,12 +211,20 @@ class PolicyEvaluator:
             controlled = np.zeros((len(chunk), A), dtype=bool)
             for e, (_, vehicles) in enumerate(chunk):
                 controlled[e, vehicles] = True
+            # packed agent slots (eval.agent_slots, streaming only): narrower
+            # crops cut the KV-cache DMA that dominates streaming rollouts
+            crop = (
+                cfg.eval.agent_slots
+                if cfg.eval.rollout_mode == "streaming" and cfg.eval.agent_slots
+                else None
+            )
             groups = build_focal_groups(
                 cfg,
                 np.asarray(batch.traj_position),
                 np.asarray(batch.traj_valid).astype(bool),
                 np.asarray(batch.agent_valid).astype(bool),
                 controlled,
+                crop_size=crop,
             )
             chunks.append((batch, controlled, groups))
         max_g = max(g.num_groups for _, _, g in chunks)

@@ -77,15 +77,18 @@ def build_focal_groups(
     agent_valid: np.ndarray,  # [E, A_sim]
     controlled: np.ndarray,  # [E, A_sim] bool
     min_groups: int = 1,
+    crop_size: int | None = None,
 ) -> GroupSpec:
     """Host-side greedy construction at t=0 (autoregressive_policy.py:88-137).
 
     Group membership depends only on initial GT state (positions at t=0,
     trajectory lengths), so it is computed exactly once, in numpy, before
-    the jitted rollout.
+    the jitted rollout. ``crop_size`` < max_num_agents builds PACKED crops
+    for the streaming rollout (eval.agent_slots): the same <=crop closest
+    selection, fewer model slots.
     """
     wc = cfg.waymo
-    Am = wc.max_num_agents
+    Am = crop_size or wc.max_num_agents
     E, A_sim = controlled.shape
     lengths = traj_valid.sum(axis=2).astype(np.float32)  # [E, A_sim]
 

@@ -163,6 +163,30 @@ def test_packed_controlled_rollout_finite(setup):
         assert np.isfinite(ro.reward8).all()
 
 
+def test_evaluator_packed_focal_groups(setup):
+    """PolicyEvaluator honors eval.agent_slots through build_focal_groups:
+    the streaming eval runs on packed crops and yields finite metrics."""
+    from ctrl_sim_tpu.evals.evaluator import PolicyEvaluator
+
+    cfg, model, params, sb, sbj = setup
+    cfg = _set_dotted(cfg, "waymo.episode_start_normalization", True)
+    cfg = _set_dotted(cfg, "eval.rollout_mode", "streaming")
+    cfg = _set_dotted(cfg, "eval.agent_slots", 4)
+    from ctrl_sim_tpu.data import synthetic_scenario
+
+    scenes = [
+        synthetic_scenario(cfg, seed=s, num_agents=3, arena_half=60.0,
+                           num_lanes=2, invalid_tail_agents=0)
+        for s in range(3)
+    ]
+    ev = PolicyEvaluator(cfg, model, params, lane_batch=3)
+    m = ev.evaluate(scenes)
+    assert m, "no metrics"
+    for k, v in m.items():
+        if isinstance(v, float):
+            assert np.isfinite(v), (k, v)
+
+
 def test_packed_phantom_key_deviation_bounded(setup):
     """The only semantic difference between a packed crop and a full-width
     crop of the same scene is the pad slots' phantom keys. Quantify it:

@@ -83,6 +83,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=64)
     ap.add_argument("--mode", default="streaming")
+    ap.add_argument("--slots", type=int, default=0,
+                    help="eval.agent_slots (0 = full-width crops)")
+    ap.add_argument("--bench-config", action="store_true",
+                    help="mirror bench.py's deployment overrides (bf16 "
+                    "cross scores) so the compile cache is shared")
     ap.add_argument("--trace-dir", default="/tmp/jaxtrace")
     ap.add_argument("--parse-only", action="store_true")
     args = ap.parse_args()
@@ -109,7 +114,12 @@ def main() -> None:
     from ctrl_sim_tpu.rollout.rollout import run_closed_loop
     from ctrl_sim_tpu.rollout.streaming import run_streaming
 
-    cfg = load_config()
+    over = {}
+    if args.slots:
+        over["eval.agent_slots"] = args.slots
+    if args.bench_config:
+        over["model.cross_score_dtype"] = "bfloat16"
+    cfg = load_config(over)
     chunk = args.envs
     scenes = [
         synthetic_scenario(cfg, seed=s, num_agents=12, arena_half=300.0)

@@ -11,9 +11,10 @@ chip. Prints ONE JSON line:
 Baseline target (BASELINE.md): >= 100,000 env-steps/s/host at 1024 parallel
 scenarios.
 
-Knobs via env vars: BENCH_ENVS (default 1152), BENCH_CHUNK (lanes per jitted
-rollout call, default 192 streaming / 32 exact), BENCH_MODE
+Knobs via env vars: BENCH_ENVS (default 1024), BENCH_CHUNK (lanes per jitted
+rollout call, default 256 streaming / 32 exact), BENCH_MODE
 (exact|streaming), BENCH_AGENTS/BENCH_LANES (scene density),
+BENCH_SLOTS (packed agent slots, default auto), BENCH_PASSES (2|3),
 BENCH_CONTACTS, BENCH_KV (bfloat16|int8), BENCH_XSCORE.
 """
 
@@ -67,8 +68,11 @@ def main() -> None:
     # attention weights — models/layers.py). BENCH_XSCORE=float32 for the
     # bit-parity configuration.
     xscore = os.environ.get("BENCH_XSCORE", "bfloat16")
+    # BENCH_PASSES=3 measures the faithful sequential decode
+    # (eval.streaming_passes — reference pass order, 1.5x cache traffic)
+    passes = int(os.environ.get("BENCH_PASSES", "2"))
     # default ON (reference parity: the reference always simulates contacts);
-    # BENCH_CONTACTS=0 measures the pass-through configuration (+7%)
+    # BENCH_CONTACTS=0 measures the pass-through configuration (+8-10%)
     contacts = os.environ.get("BENCH_CONTACTS", "1") != "0"
     # packed agent slots (round 4): the KV-cache DMA scales with model
     # slots, not real agents, so the bench packs scenes into the smallest
@@ -83,6 +87,7 @@ def main() -> None:
             "model.kv_cache_dtype": kv_dtype,
             "model.cross_score_dtype": xscore,
             "sim.resolve_contacts": contacts,
+            "eval.streaming_passes": passes,
         }
     )
     if slots_env == "auto":
@@ -99,6 +104,7 @@ def main() -> None:
                 "model.kv_cache_dtype": kv_dtype,
                 "model.cross_score_dtype": xscore,
                 "sim.resolve_contacts": contacts,
+                "eval.streaming_passes": passes,
                 "eval.agent_slots": agent_slots,
             }
         )
@@ -190,6 +196,7 @@ def main() -> None:
             "agent_slots": agent_slots or cfg.waymo.max_num_agents,
             "lanes": bench_lanes,
             "contacts": contacts,
+            "passes": passes,
             "steps": steps,
             "elapsed_s": round(elapsed, 2),
             "compile_s": round(compile_s, 1),

@@ -223,3 +223,184 @@ def _has_ffmpeg() -> bool:
     import shutil
 
     return shutil.which("ffmpeg") is not None
+
+
+# ---------------------------------------------------------------------------
+# Rasterized feature images (scenario.cc:742-780 Image /
+# :849-886 EgoVehicleFeaturesImage) — the reference renders these with SFML
+# into uint8 canvases for image-based RL consumers; here a pure-numpy
+# rasterizer produces the same surface (roads by type color, vehicle OBBs,
+# stop signs/lights as dots, optional goals), either whole-scene or as the
+# ego-centric rotated crop.
+# ---------------------------------------------------------------------------
+
+_ROAD_RGB = {
+    0: (204, 204, 204), 1: (160, 160, 160), 2: (224, 208, 112),
+    3: (64, 200, 64), 4: (208, 64, 64), 5: (112, 160, 224),
+    6: (96, 200, 200), 7: (204, 204, 204),
+}
+
+
+def _world_to_pixel(pts, center, rot, half_extent, size):
+    """[N, 2] world -> float pixel coords; view rotated by -rot so the ego
+    heading points up (View(rotation = heading - 90deg)), y flipped."""
+    c, s = np.cos(-rot), np.sin(-rot)
+    rel = pts - center[None]
+    x = c * rel[:, 0] - s * rel[:, 1]
+    y = s * rel[:, 0] + c * rel[:, 1]
+    px = (x / half_extent + 1.0) * 0.5 * (size - 1)
+    py = (1.0 - (y / half_extent + 1.0) * 0.5) * (size - 1)  # y-flip
+    return np.stack([px, py], axis=-1)
+
+
+def _draw_polyline(img, pix, color):
+    """Sampled line strokes (no AA): ~2 samples per pixel of length."""
+    for a, b in zip(pix[:-1], pix[1:]):
+        n = int(max(2, 2 * np.hypot(*(b - a))))
+        ts = np.linspace(0.0, 1.0, n)
+        p = a[None] * (1 - ts[:, None]) + b[None] * ts[:, None]
+        ij = np.round(p).astype(int)
+        ok = (
+            (ij[:, 0] >= 0) & (ij[:, 0] < img.shape[1])
+            & (ij[:, 1] >= 0) & (ij[:, 1] < img.shape[0])
+        )
+        img[ij[ok, 1], ij[ok, 0]] = color
+
+
+def _fill_box(img, corners_pix, color):
+    """Fill a convex quad given pixel corners [4, 2]."""
+    lo = np.maximum(np.floor(corners_pix.min(0)).astype(int), 0)
+    hi = np.minimum(
+        np.ceil(corners_pix.max(0)).astype(int) + 1,
+        [img.shape[1], img.shape[0]],
+    )
+    if (hi <= lo).any():
+        return
+    xs = np.arange(lo[0], hi[0])
+    ys = np.arange(lo[1], hi[1])
+    gx, gy = np.meshgrid(xs, ys)
+    pts = np.stack([gx.ravel(), gy.ravel()], axis=-1).astype(float)
+    inside = np.ones(len(pts), bool)
+    for i in range(4):
+        a, b = corners_pix[i], corners_pix[(i + 1) % 4]
+        cross = (b[0] - a[0]) * (pts[:, 1] - a[1]) - (b[1] - a[1]) * (
+            pts[:, 0] - a[0]
+        )
+        inside &= cross <= 1e-9
+    if not inside.any():  # winding flipped
+        inside = np.ones(len(pts), bool)
+        for i in range(4):
+            a, b = corners_pix[i], corners_pix[(i + 1) % 4]
+            cross = (b[0] - a[0]) * (pts[:, 1] - a[1]) - (b[1] - a[1]) * (
+                pts[:, 0] - a[0]
+            )
+            inside &= cross >= -1e-9
+    ij = pts[inside].astype(int)
+    img[ij[:, 1], ij[:, 0]] = color
+
+
+def feature_image(
+    scenario: Scenario,
+    position: np.ndarray,  # [A, 2] current vehicle positions
+    heading: np.ndarray,  # [A]
+    alive: np.ndarray,  # [A] bool
+    ego_index: int | None = None,
+    img_size: int = 200,
+    view_dist: float = 80.0,
+    rotate_with_ego: bool = True,
+    draw_goals: bool = False,
+) -> np.ndarray:
+    """[img_size, img_size, 3] uint8 rasterization.
+
+    ``ego_index=None``: the whole scenario fitted into the canvas
+    (Scenario::Image without a source). Otherwise the (2*view_dist)-wide
+    window centered on the ego, rotated so its heading points up
+    (EgoVehicleFeaturesImage's View(rotation = heading - 90)).
+    """
+    position = np.asarray(position)
+    heading = np.asarray(heading)
+    alive = np.asarray(alive)
+    length = np.asarray(scenario.length)
+    width = np.asarray(scenario.width)
+    roads = np.asarray(scenario.road_points)  # [P, L, 3]
+    road_types = np.asarray(scenario.road_types)  # [P, 8]
+
+    img = np.zeros((img_size, img_size, 3), np.uint8)
+    if ego_index is None:
+        valid_pts = roads[roads[..., 2] > 0][:, :2]
+        if len(valid_pts) == 0:
+            valid_pts = position[alive]
+        center = (valid_pts.max(0) + valid_pts.min(0)) / 2.0
+        half = float(max((valid_pts.max(0) - valid_pts.min(0)).max() / 2, 1.0))
+        half *= 1.05  # padding
+        rot = 0.0
+    else:
+        center = position[ego_index]
+        half = view_dist
+        rot = float(heading[ego_index]) - np.pi / 2 if rotate_with_ego else 0.0
+
+    # roads (stop-sign rows drawn as dots below)
+    for p in range(roads.shape[0]):
+        if road_types[p].max() <= 0:
+            continue
+        rtype = int(np.argmax(road_types[p]))
+        pts = roads[p][roads[p][:, 2] > 0][:, :2]
+        if len(pts) == 0:
+            continue
+        pix = _world_to_pixel(pts, center, rot, half, img_size)
+        color = _ROAD_RGB.get(rtype, (204, 204, 204))
+        if rtype == 4 or len(pts) == 1:  # stop sign / degenerate: dot
+            ij = np.round(pix[0]).astype(int)
+            if 0 <= ij[0] < img_size and 0 <= ij[1] < img_size:
+                img[max(ij[1] - 1, 0) : ij[1] + 2,
+                    max(ij[0] - 1, 0) : ij[0] + 2] = color
+        else:
+            _draw_polyline(img, pix, color)
+
+    # traffic lights as dots (state-independent marker, like the SFML circle)
+    if scenario.tl_position is not None:
+        tlp = np.asarray(scenario.tl_position)
+        tlv = np.asarray(scenario.tl_valid)
+        for i in range(len(tlp)):
+            if not tlv[i]:
+                continue
+            ij = np.round(
+                _world_to_pixel(tlp[i : i + 1], center, rot, half, img_size)[0]
+            ).astype(int)
+            if 0 <= ij[0] < img_size and 0 <= ij[1] < img_size:
+                img[max(ij[1] - 1, 0) : ij[1] + 2,
+                    max(ij[0] - 1, 0) : ij[0] + 2] = (230, 180, 40)
+
+    # vehicles as filled OBBs; ego in a distinct color
+    c, s = np.cos(heading), np.sin(heading)
+    fwd = np.stack([c, s], -1)
+    left = np.stack([-s, c], -1)
+    for a in np.where(alive & (position[:, 0] > DEAD_POSITION / 2))[0]:
+        half_l = length[a] / 2.0
+        half_w = width[a] / 2.0
+        corners = np.stack(
+            [
+                position[a] + half_l * fwd[a] + half_w * left[a],
+                position[a] + half_l * fwd[a] - half_w * left[a],
+                position[a] - half_l * fwd[a] - half_w * left[a],
+                position[a] - half_l * fwd[a] + half_w * left[a],
+            ]
+        )
+        pix = _world_to_pixel(corners, center, rot, half, img_size)
+        color = (
+            (40, 120, 230) if ego_index is not None and a == ego_index
+            else (235, 235, 235)
+        )
+        _fill_box(img, pix, color)
+
+    if draw_goals:
+        goals = np.asarray(scenario.goal_position)
+        for a in np.where(alive)[0]:
+            ij = np.round(
+                _world_to_pixel(goals[a : a + 1], center, rot, half, img_size)[0]
+            ).astype(int)
+            if 0 <= ij[0] < img_size and 0 <= ij[1] < img_size:
+                img[max(ij[1] - 1, 0) : ij[1] + 2,
+                    max(ij[0] - 1, 0) : ij[0] + 2] = (60, 200, 90)
+
+    return img

@@ -171,6 +171,34 @@ def body_allheads(q, k, v, mask, o_ref):
     o_ref[:, :] = o.transpose(1, 0, 2).reshape(Q, H).astype(o_ref.dtype)
 
 
+def body_stackheads(q, k, v, mask, o_ref):
+    """Round 4: 8 MXU dots as before, but ONE set of softmax passes over the
+    stacked [8*Q, N] score matrix — tests whether the VPU per-op overhead of
+    8 small [Q, N] pass-sets dominates at packed shapes (Q=24)."""
+    bias = (1.0 - mask.astype(jnp.float32)) * -1e30
+    scores = jnp.concatenate(
+        [
+            jax.lax.dot_general(
+                q[:, h * D : (h + 1) * D], k[:, h * D : (h + 1) * D],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for h in range(HEADS)
+        ],
+        axis=0,
+    ) + jnp.tile(bias, (HEADS, 1))  # [8Q, N]
+    m = jnp.max(scores, -1, keepdims=True)
+    e = jnp.exp2(scores - m)
+    den = jnp.sum(e, -1, keepdims=True)
+    w = (e / den).astype(v.dtype)
+    for h in range(HEADS):
+        sl = slice(h * D, (h + 1) * D)
+        o_ref[:, sl] = jnp.dot(
+            w[h * Q : (h + 1) * Q], v[:, sl],
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
 def body_no_softmax(q, k, v, mask, o_ref):
     bias = (1.0 - mask.astype(jnp.float32)) * -1e30
     for h in range(HEADS):
@@ -653,9 +681,15 @@ def main():
         run_split(1, "dma_split1")
         run_split(2, "dma_split2")
         run_split(4, "dma_split4")
+    if "stack" in which:
+        f_full, args = run(body_full, "full")
+        ref = np.asarray(
+            jax.jit(lambda q, k, v, m: f_full(q, k, v, m))(*args)
+        ).astype(np.float32)
+        run(body_stackheads, "stackheads", check_against=ref)
     if "block" in which:
         run(body_full, "full_lb1")
-        for lb in (2, 4, 8):
+        for lb in (2, 4):
             run_block(lb, f"full_lb{lb}")
     if "pipe" in which:
         run_split(1, "dma_split1")  # auto-pipeline baseline, same shapes

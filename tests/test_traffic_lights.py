@@ -181,7 +181,7 @@ def test_env_observe_consumes_lights(cfg):
                                       max_visible_lights=4)
     )(sbj, state, jnp.zeros(2, jnp.int32))
     assert obs["ego_state"].shape == (2, 5)
-    assert obs["visible_objects"].shape == (2, 4, 8)
+    assert obs["visible_objects"].shape == (2, 4, 13)
     assert obs["traffic_lights"].shape == (2, 4, 12)
     assert np.isfinite(np.asarray(obs["ego_state"])).all()
     # at t=0 the nearest light to ego 0 (at origin) is light 1 at (-6, 1)...

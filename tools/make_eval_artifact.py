@@ -114,8 +114,8 @@ def main() -> None:
         run(
             "ctrl_sim_tpu.eval_planner", *SMALL, *planner_sel,
             "-o", "eval.rollout_mode=exact",
-            "--ckpt", ckpt_a, "--synthetic", "8", "--synthetic_agents", "6",
-            "--lane_batch", "8",
+            "--ckpt", ckpt_a, "--synthetic", "32", "--synthetic_agents", "6",
+            "--lane_batch", "16",
             "--out", os.path.join(ART, "eval_r04_planner.json"),
         )
 
@@ -163,6 +163,9 @@ def main() -> None:
 
     for name in ("eval_r04_exact", "eval_r04_planner", "eval_r04_streaming"):
         path = os.path.join(ART, name + ".json")
+        if not os.path.exists(path):
+            print(f"[artifact] {name}: (not generated in this invocation)")
+            continue
         with open(path) as f:
             m = json.load(f)
         print(f"[artifact] {name}: {sorted(m)[:6]} ...")

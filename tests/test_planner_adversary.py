@@ -160,3 +160,21 @@ def test_match_adversary_by_position():
     # the reference's zero-position sentinel
     _, _, ok3 = match_adversary_by_position(scene, np.zeros(2), p[4])
     assert not ok3
+
+
+def test_planner_streaming_normalization_guard(setup):
+    """PlannerAdversaryEvaluator enforces the same train/eval frame guard as
+    PolicyEvaluator (shared check_streaming_normalization): a streaming
+    planner eval of a window-anchored config must be refused unless
+    acknowledged."""
+    import pytest
+
+    from ctrl_sim_tpu.config import _set_dotted
+    from ctrl_sim_tpu.evals.planner_adversary import PlannerAdversaryEvaluator
+
+    cfg, model, params, scenes = setup
+    bad = _set_dotted(cfg, "eval.rollout_mode", "streaming")
+    with pytest.raises(ValueError, match="episode-start normalization"):
+        PlannerAdversaryEvaluator(bad, model, params)
+    ok = _set_dotted(bad, "eval.allow_normalization_mismatch", True)
+    PlannerAdversaryEvaluator(ok, model, params)  # acknowledged: constructs

@@ -1,11 +1,18 @@
-"""Regression checks on the committed end-to-end quality artifact.
+"""Regression checks on the committed end-to-end quality artifact (round 4).
 
-artifacts/eval_r03_*.json are produced by tools/make_eval_artifact.py —
-train -> closed-loop eval -> Table-1 metrics, small-scale, through the
-repo's own CLIs (the reference's deliverable shape:
-evaluators/policy_evaluator.py:578-593). These tests pin their keys and
-value ranges so a change that breaks the closed loop, or silently degrades
-its metrics, fails CI.
+artifacts/eval_r04_*.json are produced by tools/make_eval_artifact.py —
+8k-step training -> closed-loop eval on 256 synthetic scenes -> Table-1
+metrics, through the repo's own CLIs (the reference's deliverable shape:
+evaluators/policy_evaluator.py:578-593). Beyond key/range checks, these
+tests pin TOLERANCE BANDS around the committed values (committed round-4
+numbers in parentheses), so regenerating the artifact after a silent
+quality regression fails CI.
+
+eval_r04_passes_ab.json is the fused-2-pass vs sequential-3-pass streaming
+A/B (two eval seeds x both modes, same checkpoint): the action-deferral
+deviation must stay well inside cross-seed noise — the committed run
+measured within-seed deltas <= 0.004 on every metric vs ~0.02 cross-seed
+spread.
 """
 
 from __future__ import annotations
@@ -35,26 +42,42 @@ def _load(name: str) -> dict:
         return json.load(f)
 
 
-@pytest.mark.parametrize("name", ["eval_r03_exact.json", "eval_r03_streaming.json"])
+@pytest.mark.parametrize(
+    "name", ["eval_r04_exact.json", "eval_r04_streaming.json"]
+)
 def test_policy_eval_artifact(name):
     m = _load(name)
     missing = POLICY_KEYS - set(m)
     assert not missing, f"{name} missing metric keys: {sorted(missing)}"
     for k in ("goal", "collision_rate", "offroad_rate"):
         assert 0.0 <= m[k] <= 1.0, f"{name}: {k}={m[k]} out of [0,1]"
-    for k in ("ade", "fde"):
-        assert math.isfinite(m[k]) and 0.0 <= m[k] < 200.0, f"{name}: {k}={m[k]}"
     for k in POLICY_KEYS:
         if k.endswith("_jsd"):
             assert 0.0 <= m[k] <= JSD_MAX, f"{name}: {k}={m[k]}"
-    # a trained model on the tiny synthetic corpus must do far better than
-    # random driving: ADE under tens of meters over a 4 s horizon
-    assert m["ade"] < 60.0, f"{name}: ADE {m['ade']} looks untrained"
+    # tolerance bands around the committed 8k-step / 256-scene values
+    # (exact: goal 0.512, CR 0.032, ADE 0.840, FDE 2.04, JSDs 0.018-0.053;
+    #  streaming: goal 0.471, CR 0.029, ADE 0.931, FDE 2.33)
+    assert 0.30 <= m["goal"] <= 0.70, f"{name}: goal {m['goal']}"
+    assert m["collision_rate"] <= 0.10, f"{name}: CR {m['collision_rate']}"
+    assert m["offroad_rate"] <= 0.05, f"{name}: OR {m['offroad_rate']}"
+    assert m["ade"] <= 1.6, f"{name}: ADE {m['ade']}"
+    assert m["fde"] <= 4.0, f"{name}: FDE {m['fde']}"
+    for k in ("lin_speed_jsd", "ang_speed_jsd", "accel_jsd",
+              "nearest_dist_jsd"):
+        assert m[k] <= 0.15, f"{name}: {k}={m[k]}"
 
 
 def test_planner_adversary_artifact():
-    m = _load("eval_r03_planner.json")
-    # the ego planner block (planner_adversary_evaluator.py:370-429)
+    """32-scene planner-vs-adversary table (committed: ego_goal 0.469,
+    ego_cr 0.0, ego_ade 0.90).
+
+    Adversary-JSD sanity: the adversary runs a veh_veh_tilt=-10
+    collision-seeking policy, so its behavior SHOULD diverge from the
+    GT-replay bins the JSDs are computed against — the committed 0.14-0.39
+    adversary JSDs are the tilt doing its job (an adversary with near-zero
+    JSD would mean the tilt had no effect), while the ego planner's own
+    displacement errors stay at the policy-eval level."""
+    m = _load("eval_r04_planner.json")
     for k in ("ego_goal", "ego_cr", "ego_cr_w_adv", "ego_or"):
         assert k in m, f"missing {k} in planner artifact: {sorted(m)}"
         assert 0.0 <= m[k] <= 1.0, f"{k}={m[k]}"
@@ -66,3 +89,42 @@ def test_planner_adversary_artifact():
     assert jsds, f"no adversary JSDs in planner artifact: {sorted(m)}"
     for k in jsds:
         assert 0.0 <= m[k] <= JSD_MAX, f"{k}={m[k]}"
+    # bands around the committed values
+    assert m["ego_ade"] <= 1.8, f"ego_ade {m['ego_ade']}"
+    assert m["ego_cr"] <= 0.2, f"ego_cr {m['ego_cr']}"
+
+
+def test_streaming_passes_ab_within_seed_noise():
+    """The fused action deferral's metric-level cost: within each seed, the
+    2-pass vs 3-pass delta must be (a) tiny in absolute terms and (b) no
+    larger than the cross-seed spread of the same metric — i.e. the
+    deferral deviation is statistically invisible next to eval-seed noise.
+    Committed run: max within-seed delta 0.004 (collision_rate, seed 0)
+    vs cross-seed spreads ~0.02."""
+    ab = _load("eval_r04_passes_ab.json")
+    need = {f"seed{s}_passes{p}" for s in (0, 1) for p in (2, 3)}
+    assert need <= set(ab), f"AB combos missing: {sorted(need - set(ab))}"
+
+    metrics = ["goal", "collision_rate", "offroad_rate", "ade", "fde",
+               "lin_speed_jsd", "ang_speed_jsd", "accel_jsd",
+               "nearest_dist_jsd"]
+    for k in metrics:
+        deltas = [
+            abs(ab[f"seed{s}_passes2"][k] - ab[f"seed{s}_passes3"][k])
+            for s in (0, 1)
+        ]
+        seed_spread = max(
+            abs(ab["seed0_passes2"][k] - ab["seed1_passes2"][k]),
+            abs(ab["seed0_passes3"][k] - ab["seed1_passes3"][k]),
+        )
+        # absolute bound: ~3x the committed worst case
+        assert max(deltas) <= 0.015 + 0.02 * abs(ab["seed0_passes2"][k]), (
+            f"{k}: 2-vs-3-pass delta {max(deltas):.4f} too large"
+        )
+        # relative bound: within (a small multiple of) seed noise; the +1e-3
+        # floor keeps metrics that are seed-stable (e.g. offroad 0.0) from
+        # tripping on epsilon differences
+        assert max(deltas) <= 2.0 * seed_spread + 1e-3, (
+            f"{k}: deferral delta {max(deltas):.4f} exceeds seed noise "
+            f"{seed_spread:.4f}"
+        )

@@ -7,11 +7,11 @@ dumps), small-scale on the synthetic corpus, entirely through the repo's
 own CLIs:
 
   run A (reference semantics, window-anchored frames):
-    train -> eval_sim --rollout exact -> artifacts/eval_r03_exact.json
-          -> eval_planner              -> artifacts/eval_r03_planner.json
+    train -> eval_sim --rollout exact -> artifacts/eval_r04_exact.json
+          -> eval_planner              -> artifacts/eval_r04_planner.json
   run B (streaming deployment semantics, episode-start frames):
     train (waymo.episode_start_normalization=True)
-          -> eval_sim streaming        -> artifacts/eval_r03_streaming.json
+          -> eval_sim streaming        -> artifacts/eval_r04_streaming.json
 
 tests/test_eval_artifact.py regression-checks the committed JSONs' keys and
 ranges, so a change that breaks the closed loop (or silently degrades its

@@ -128,3 +128,36 @@ def test_streaming_passes_ab_within_seed_noise():
             f"{k}: deferral delta {max(deltas):.4f} exceeds seed noise "
             f"{seed_spread:.4f}"
         )
+
+
+def test_packed_slots_ab_within_seed_noise():
+    """The packed-crop deviation (pad slots' phantom keys are not attended)
+    at the metric level, on a TRAINED 16-slot model evaluated on 6-agent
+    scenes with an 8-slot packed crop vs full-width (two eval seeds, same
+    checkpoint — artifacts/eval_r04_slots_ab.json, run C of
+    tools/make_eval_artifact-style pipeline). Committed run: within-seed
+    deltas <= 0.019 (ADE) / 0.015 (goal), comparable to the ~0.01-0.04
+    cross-seed spreads — the deviation is at seed-noise level."""
+    ab = _load("eval_r04_slots_ab.json")
+    need = {f"seed{s}_slots{v}" for s in (0, 1) for v in ("8", "full")}
+    assert need <= set(ab), f"combos missing: {sorted(need - set(ab))}"
+
+    metrics = ["goal", "collision_rate", "offroad_rate", "ade", "fde",
+               "lin_speed_jsd", "ang_speed_jsd", "accel_jsd",
+               "nearest_dist_jsd"]
+    for k in metrics:
+        deltas = [
+            abs(ab[f"seed{s}_slots8"][k] - ab[f"seed{s}_slotsfull"][k])
+            for s in (0, 1)
+        ]
+        seed_spread = max(
+            abs(ab["seed0_slots8"][k] - ab["seed1_slots8"][k]),
+            abs(ab["seed0_slotsfull"][k] - ab["seed1_slotsfull"][k]),
+        )
+        assert max(deltas) <= 0.03 + 0.05 * abs(ab["seed0_slotsfull"][k]), (
+            f"{k}: packed-vs-full delta {max(deltas):.4f} too large"
+        )
+        assert max(deltas) <= 2.0 * seed_spread + 2e-3, (
+            f"{k}: packed delta {max(deltas):.4f} exceeds seed noise "
+            f"{seed_spread:.4f}"
+        )

@@ -386,10 +386,13 @@ class EvalConfig:
     # (waymo.max_num_agents slots, the reference layout). N < max_num_agents
     # packs the N closest in-range agents into N model slots — the KV-cache
     # DMA (the rollout's dominant cost) scales with slots, not real agents,
-    # so sparse scenes stop paying dead-slot traffic. Deviation vs
-    # full-width: pad slots' zero-embedding phantom keys are no longer
-    # attended (their count varies per training scene anyway); bounded at
-    # the metric level in tests/test_packed_slots.py.
+    # so sparse scenes stop paying dead-slot traffic (BENCH_NOTES.md: 8/16/24
+    # slots -> 24.0/17.3/13.7k env-steps/s/chip). Use multiples of 8 (the
+    # sublane tile — a misaligned crop is SLOWER than full width). Deviation
+    # vs full-width: pad slots' zero-embedding phantom keys are no longer
+    # attended; measured at seed-noise level on a trained model
+    # (artifacts/eval_r04_slots_ab.json, tests/test_eval_artifact.py) and
+    # machinery-pinned in tests/test_packed_slots.py.
     agent_slots: int = 0
 
 

@@ -214,7 +214,17 @@ def ctg_params_from_torch_state(
         "diff_model.sqrt_", "diff_model.log_one_minus",
         "diff_model.posterior_", "diff_model.loss_fn.",
     )
-    if any(k.startswith("rtg_model.") for k in w.store):
+    has_rtg = any(k.startswith("rtg_model.") for k in w.store)
+    if has_rtg and not cfg.model.use_rtg:
+        # the checkpoint carries an RTG head but the target config disables
+        # it (model.use_rtg=false -> CTGPlusPlus builds no rtg_model):
+        # import the denoiser only
+        print(
+            "[import] note: checkpoint contains rtg_model.* but "
+            "model.use_rtg=false — skipping the RTG head"
+        )
+        w.skip("rtg_model.")
+    elif has_rtg:
         p = "rtg_model"
         w.skip(f"{p}.pos_encoder.pe", f"{p}.diffustion_step_encoder.")
         params["rtg_model"] = {

@@ -316,19 +316,22 @@ def test_ctg_importer_roundtrip(g):
         for k in g.files
         if k.startswith("gd_w_")
     }
-    state.update(
-        {
-            "rtg_model." + k[len("rtg_w_"):]: g[k]
-            for k in g.files
-            if k.startswith("rtg_w_")
-        }
-    )
+    rtg_state = {
+        "rtg_model." + k[len("rtg_w_"):]: g[k]
+        for k in g.files
+        if k.startswith("rtg_w_")
+    }
     # schedule buffers as a real checkpoint would carry them
     for name in ("betas", "alphas_cumprod", "posterior_variance"):
         state["diff_model." + name] = g["sched_" + name]
 
+    # (a) shipped-default config (use_rtg=False): a checkpoint that carries
+    # rtg_model.* anyway gets the head skipped (the target model has none)
     cfg = _cfg(use_rtg=False)
-    mapped = ctg_params_from_torch_state(state, cfg, strict=True)
+    mapped = ctg_params_from_torch_state(
+        {**state, **rtg_state}, cfg, strict=True
+    )
+    assert "rtg_model" not in mapped["params"]
 
     # diffusion subtree must match a fresh CTGPlusPlus init exactly
     model = CTGPlusPlus(cfg)
@@ -345,10 +348,19 @@ def test_ctg_importer_roundtrip(g):
     got = jax.tree.map(lambda x: x.shape, mapped["params"]["diffusion"])
     assert want == got
 
-    # rtg subtree must match a fresh RTGModel init exactly
+    # (b) use_rtg=True layout: the rtg subtree must match a fresh RTGModel
+    # init exactly (the use_rtg DiT weights come from the dit_w_ dump)
+    state_rtg = {
+        "diff_model.model." + k[len("dit_w_"):]: g[k]
+        for k in g.files
+        if k.startswith("dit_w_")
+    }
+    mapped_rtg = ctg_params_from_torch_state(
+        {**state_rtg, **rtg_state}, _cfg(use_rtg=True), strict=True
+    )
     rtg_init = RTGModel(cfg).init({"params": jax.random.PRNGKey(0)}, cond, True)
     want = jax.tree.map(lambda x: x.shape, rtg_init["params"])
-    got = jax.tree.map(lambda x: x.shape, mapped["params"]["rtg_model"])
+    got = jax.tree.map(lambda x: x.shape, mapped_rtg["params"]["rtg_model"])
     assert want == got
 
 

@@ -114,6 +114,7 @@ class CtRLSim(nn.Module):
         memory_valid: Array,
         window: int,
         memory_kv: tuple | None = None,
+        mask_override = None,
     ):
         """Fused sub-pass: append the PREVIOUS step's action tokens together
         with this step's state tokens in one decoder pass.
@@ -158,6 +159,7 @@ class CtRLSim(nn.Module):
             memory_valid,
             window,
             memory_kv=memory_kv,
+            mask_override=mask_override,
         )
         return x[:, A:], cache
 
@@ -207,6 +209,7 @@ class CtRLSim(nn.Module):
         memory_valid: Array,
         window: int,
         memory_kv: tuple | None = None,
+        mask_override = None,
     ):
         """Append this step's RTG tokens; outputs feed the action head."""
         A = rtg_bins.shape[1]
@@ -215,8 +218,9 @@ class CtRLSim(nn.Module):
         emb = self.encoder.embed_rtg_tokens(rtg_bins, t_ids, a_ids, existence[..., None])
         emb = self.encoder.embed_ln(emb)
         k = 0 if self.cfg.model.decision_transformer else 1
-        return self.decoder.decode_step(
-            emb, k, t, cache, memory, memory_valid, window, memory_kv=memory_kv
+        return self.decoder.decode_step_groups(
+            [(emb, k, t)], cache, memory, memory_valid, window,
+            memory_kv=memory_kv, mask_override=mask_override,
         )
 
     def stream_action(

@@ -235,6 +235,7 @@ class Decoder(nn.Module):
         memory_valid: Array,
         window: int,
         memory_kv: tuple | None = None,
+        mask_override: Array | None = None,  # [Q, N] precomputed (i8/bool)
     ) -> tuple[Array, KVCache]:
         """Incremental decode of one or more A-token groups in a single
         decoder pass; returns layer-stack outputs [B, len(groups)*A, H]
@@ -281,35 +282,41 @@ class Decoder(nn.Module):
             )
             writes.append((slot, token_type, gi * A))
 
-        # coordinate grids for the [window, K, A] flat cache layout
-        a_j = jnp.tile(jnp.arange(A), window * K)  # [window*K*A]
-        k_j = jnp.tile(jnp.repeat(jnp.arange(K), A), window)
-        t_j = jnp.repeat(slot_t, K * A)
-        jj = t_j * (A * K) + a_j * K + k_j
+        if mask_override is not None:
+            # the rollout precomputed this step's mask outside its scan
+            # (ops/masks.py:stream_step_masks — the ring labels are a
+            # closed form of t, so nothing here is step-dynamic)
+            mask = (mask_override != 0)[None]
+        else:
+            # coordinate grids for the [window, K, A] flat cache layout
+            a_j = jnp.tile(jnp.arange(A), window * K)  # [window*K*A]
+            k_j = jnp.tile(jnp.repeat(jnp.arange(K), A), window)
+            t_j = jnp.repeat(slot_t, K * A)
+            jj = t_j * (A * K) + a_j * K + k_j
 
-        # query coordinates, group-major
-        a_i = jnp.tile(jnp.arange(A), len(groups))
-        t_i = jnp.concatenate(
-            [jnp.broadcast_to(jnp.asarray(tg, jnp.int32), (A,)) for _, _, tg in groups]
-        )
-        k_i = jnp.concatenate(
-            [jnp.full((A,), token_type, jnp.int32) for _, token_type, _ in groups]
-        )
-        ii = t_i * (A * K) + a_i * K + k_i
+            # query coordinates, group-major
+            a_i = jnp.tile(jnp.arange(A), len(groups))
+            t_i = jnp.concatenate(
+                [jnp.broadcast_to(jnp.asarray(tg, jnp.int32), (A,)) for _, _, tg in groups]
+            )
+            k_i = jnp.concatenate(
+                [jnp.full((A,), token_type, jnp.int32) for _, token_type, _ in groups]
+            )
+            ii = t_i * (A * K) + a_i * K + k_i
 
-        mask = masks.visible(
-            ti=t_i[:, None],
-            ai=a_i[:, None],
-            ii=ii[:, None],
-            tj=t_j[None, :],
-            aj=a_j[None, :],
-            kj=k_j[None, :],
-            jj=jj[None, :],
-            state_index=mc.state_token_index,
-            attend_own_return_action=mc.attend_own_return_action,
-            window=window,
-        ) & (t_j[None, :] >= 0)
-        mask = mask[None]
+            mask = masks.visible(
+                ti=t_i[:, None],
+                ai=a_i[:, None],
+                ii=ii[:, None],
+                tj=t_j[None, :],
+                aj=a_j[None, :],
+                kj=k_j[None, :],
+                jj=jj[None, :],
+                state_index=mc.state_token_index,
+                attend_own_return_action=mc.attend_own_return_action,
+                window=window,
+            ) & (t_j[None, :] >= 0)
+            mask = mask[None]
 
         x = jnp.concatenate([tokens for tokens, _, _ in groups], axis=1)
         use_pallas = bool(mc.use_pallas_attention) and jax.default_backend() == "tpu"

@@ -68,6 +68,77 @@ def visible(
     return out
 
 
+def stream_step_masks(
+    steps: int,
+    window: int,
+    num_agents: int,
+    num_types: int,
+    state_index: int,
+    attend_own_return_action: bool = False,
+) -> tuple[Array, Array]:
+    """Precomputed per-step masks for the fused 2-pass streaming decode.
+
+    The ring buffer's slot->timestep map is a closed form of the step
+    index — slot s at step t holds label t - ((t - s) mod window), or -1
+    before genesis — so the [Q, N] visibility masks the decoder builds per
+    pass per step (models/decoder.py:decode_step_groups) can be hoisted out
+    of the rollout scan entirely and streamed in as scan inputs.
+
+    Returns ``(mask1 [T, 2A, N], mask2 [T, A, N])`` int8, N = window *
+    num_types * num_agents: pass 1 = the t-1 action group + the t state
+    group, pass 2 = the t rtg group (token type 1, or 0 under the DT
+    layout — this helper covers the default CtRL-Sim layout where the rtg
+    stream is type 1 and actions are type K-1). Bitwise equal to the
+    decoder's dynamic construction (tests/test_masks.py)."""
+    A, K, w = num_agents, num_types, window
+    ts = jnp.arange(steps)
+    s = jnp.arange(w)
+    slot_label = ts[:, None] - jnp.mod(ts[:, None] - s[None, :], w)  # [T, w]
+    slot_label = jnp.where(slot_label >= 0, slot_label, -1)
+
+    a_j = jnp.tile(jnp.arange(A), w * K)  # [N]
+    k_j = jnp.tile(jnp.repeat(jnp.arange(K), A), w)
+    t_j = jnp.repeat(slot_label, K * A, axis=1)  # [T, N]
+    jj = t_j * (A * K) + a_j[None, :] * K + k_j[None, :]
+
+    def build(t_i_rows, k_i_rows):
+        # t_i_rows/k_i_rows: [T, Q]
+        a_i = jnp.tile(jnp.arange(A), t_i_rows.shape[1] // A)  # [Q]
+        ii = t_i_rows * (A * K) + a_i[None, :] * K + k_i_rows
+        m = visible(
+            ti=t_i_rows[:, :, None],
+            ai=a_i[None, :, None],
+            ii=ii[:, :, None],
+            tj=t_j[:, None, :],
+            aj=a_j[None, None, :],
+            kj=k_j[None, None, :],
+            jj=jj[:, None, :],
+            state_index=state_index,
+            attend_own_return_action=attend_own_return_action,
+            window=w,
+        ) & (t_j[:, None, :] >= 0)
+        return m.astype(jnp.int8)
+
+    k_action = K - 1
+    t1 = jnp.concatenate(
+        [
+            jnp.repeat((ts - 1)[:, None], A, axis=1),
+            jnp.repeat(ts[:, None], A, axis=1),
+        ],
+        axis=1,
+    )  # [T, 2A]
+    k1 = jnp.concatenate(
+        [jnp.full((steps, A), k_action), jnp.full((steps, A), state_index)],
+        axis=1,
+    )
+    mask1 = build(t1, k1)
+
+    t2 = jnp.repeat(ts[:, None], A, axis=1)
+    k2 = jnp.full((steps, A), 1)  # rtg stream (default layout)
+    mask2 = build(t2, k2)
+    return mask1, mask2
+
+
 def multi_agent_causal_mask(
     num_steps: int,
     num_agents: int,

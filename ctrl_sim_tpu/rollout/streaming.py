@@ -293,6 +293,20 @@ def run_streaming(
             controlled_mask[..., None], jnp.asarray([0.0, -10.0, -10.0]), rtg_rt0
         )
 
+    # the fused 2-pass default family: the ring-slot labels are a closed
+    # form of t, so both passes' [Q, N] masks are precomputed for every
+    # step OUTSIDE the scan and streamed in as scan inputs — the per-step
+    # coordinate/predicate fusions disappear from the loop body
+    default_family = not (mc.trajeglish or mc.il or mc.decision_transformer)
+    use_premask = default_family and cfg.eval.streaming_passes < 3
+    if use_premask:
+        from ctrl_sim_tpu.ops.masks import stream_step_masks
+
+        premask1, premask2 = stream_step_masks(
+            steps, window, Am, K, mc.state_token_index,
+            mc.attend_own_return_action,
+        )
+
     class Carry(NamedTuple):
         env_state: EnvState
         cache: KVCache
@@ -302,7 +316,12 @@ def run_streaming(
         prev_exist: Array  # [EG, Am] — model existence at t-1
         rtg_rt: Array  # [E, A, 3] — DT real-time decayed RTG (zeros otherwise)
 
-    def step_fn(carry: Carry, t: Array):
+    def step_fn(carry: Carry, scan_in):
+        if use_premask:
+            t, mask1_t, mask2_t = scan_in
+        else:
+            t = scan_in
+            mask1_t = mask2_t = None
         env_state = carry.env_state
         rng, k_rtg, k_act = jax.random.split(carry.rng, 3)
 
@@ -481,7 +500,7 @@ def run_streaming(
                 method=lambda m: m.stream_action_state(
                     carry.prev_action_ids, carry.prev_exist, states12, n_goals,
                     model_exist, t, carry.cache, memory, memory_valid, window,
-                    memory_kv=memory_kv,
+                    memory_kv=memory_kv, mask_override=mask1_t,
                 ),
             )
 
@@ -507,7 +526,7 @@ def run_streaming(
                 params,
                 method=lambda m: m.stream_rtg(
                     rtg_bins, model_exist, t, cache, memory, memory_valid,
-                    window, memory_kv=memory_kv,
+                    window, memory_kv=memory_kv, mask_override=mask2_t,
                 ),
             )
 
@@ -586,7 +605,12 @@ def run_streaming(
         jnp.zeros((EG, Am), jnp.float32),
         rtg_rt0,
     )
-    final_carry, ys = jax.lax.scan(step_fn, carry0, jnp.arange(steps))
+    scan_xs = (
+        (jnp.arange(steps), premask1, premask2)
+        if use_premask
+        else jnp.arange(steps)
+    )
+    final_carry, ys = jax.lax.scan(step_fn, carry0, scan_xs)
     (pos, vel, heading, speed, exist, reward8, accel, steer, nearest, rtgs) = ys
 
     final_reward8, final_env = env.reward(scenario, final_carry.env_state)

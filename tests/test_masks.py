@@ -70,3 +70,51 @@ def test_window_restricts_past():
     t = np.arange(n) // (2 * 3)
     expect = full & (t[None, :] > t[:, None] - 2)
     np.testing.assert_array_equal(windowed, expect)
+
+
+def test_stream_step_masks_match_dynamic_ring():
+    """stream_step_masks (precomputed outside the rollout scan) must equal
+    the decoder's dynamic construction (decode_step_groups) at every step —
+    the ring slot->timestep labels are simulated here exactly as the
+    carried slot_t evolves."""
+    import numpy as np
+
+    from ctrl_sim_tpu.ops.masks import stream_step_masks, visible
+
+    steps, window, A, K, state_index = 9, 4, 3, 3, 0
+    m1, m2 = stream_step_masks(steps, window, A, K, state_index)
+    m1, m2 = np.asarray(m1), np.asarray(m2)
+
+    def dynamic(slot_t, queries):
+        a_j = np.tile(np.arange(A), window * K)
+        k_j = np.tile(np.repeat(np.arange(K), A), window)
+        t_j = np.repeat(np.asarray(slot_t), K * A)
+        jj = t_j * (A * K) + a_j * K + k_j
+        t_i = np.concatenate([np.full(A, tg) for tg, _ in queries])
+        k_i = np.concatenate([np.full(A, k) for _, k in queries])
+        a_i = np.tile(np.arange(A), len(queries))
+        ii = t_i * (A * K) + a_i * K + k_i
+        m = np.asarray(
+            visible(
+                ti=t_i[:, None], ai=a_i[:, None], ii=ii[:, None],
+                tj=t_j[None, :], aj=a_j[None, :], kj=k_j[None, :],
+                jj=jj[None, :], state_index=state_index, window=window,
+            )
+        ) & (t_j[None, :] >= 0)
+        return m.astype(np.int8)
+
+    slot_t = np.full(window, -1)
+    for t in range(steps):
+        # pass 1 writes (action @ t-1, state @ t), labels only for t >= 0
+        for tg in (t - 1, t):
+            if tg >= 0:
+                slot_t[tg % window] = tg
+        np.testing.assert_array_equal(
+            m1[t], dynamic(slot_t, [(t - 1, K - 1), (t, state_index)]),
+            err_msg=f"pass-1 mask differs at t={t}",
+        )
+        # pass 2 writes rtg @ t (slot already labeled t)
+        np.testing.assert_array_equal(
+            m2[t], dynamic(slot_t, [(t, 1)]),
+            err_msg=f"pass-2 mask differs at t={t}",
+        )

@@ -31,6 +31,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--limit_files", type=int, default=None)
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--synthetic_agents", type=int, default=12)
+    p.add_argument("--synthetic_conflict", type=int, default=0)
     p.add_argument("--lane_batch", type=int, default=32)
     # planner/adversary tilts (cfgs/policy/ctrl_sim_planner|_adversary.yaml)
     p.add_argument("--planner_tilt", nargs=3, type=float, default=[10.0, 10.0, 10.0],
@@ -52,7 +53,10 @@ def main(argv: list[str] | None = None) -> None:
     else:
         n = args.synthetic or 8
         scenes = [
-            synthetic_scenario(cfg, seed=s, num_agents=args.synthetic_agents)
+            synthetic_scenario(
+                cfg, seed=s, num_agents=args.synthetic_agents,
+                conflict_pairs=args.synthetic_conflict,
+            )
             for s in range(n)
         ]
 

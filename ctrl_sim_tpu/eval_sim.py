@@ -32,6 +32,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--limit_files", type=int, default=None)
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--synthetic_agents", type=int, default=12)
+    p.add_argument("--synthetic_conflict", type=int, default=0)
     p.add_argument("--lane_batch", type=int, default=32)
     p.add_argument("--out", default=None, help="write the metrics JSON here")
     args = p.parse_args(argv)
@@ -48,7 +49,10 @@ def main(argv: list[str] | None = None) -> None:
     else:
         n = args.synthetic or 8
         scenes = [
-            synthetic_scenario(cfg, seed=s, num_agents=args.synthetic_agents)
+            synthetic_scenario(
+                cfg, seed=s, num_agents=args.synthetic_agents,
+                conflict_pairs=args.synthetic_conflict,
+            )
             for s in range(n)
         ]
 

@@ -51,7 +51,10 @@ def build_store(cfg: Config, args) -> ScenarioStore:
     if args.data_dir:
         return ScenarioStore.from_json_dir(cfg, args.data_dir, limit=args.limit_files)
     scenes = [
-        synthetic_scenario(cfg, seed=s, num_agents=args.synthetic_agents)
+        synthetic_scenario(
+            cfg, seed=s, num_agents=args.synthetic_agents,
+            conflict_pairs=args.synthetic_conflict,
+        )
         for s in range(args.synthetic)
     ]
     return ScenarioStore.from_scenes(cfg, scenes)
@@ -67,6 +70,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on N synthetic scenes when no data_dir")
     p.add_argument("--synthetic_agents", type=int, default=12)
+    p.add_argument("--synthetic_conflict", type=int, default=0,
+                   help="crossing-course agent pairs per synthetic scene "
+                        "(collision-diverse corpus for RTG tilting)")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--save_dir", default=None)
     p.add_argument("--log_every", type=int, default=50)

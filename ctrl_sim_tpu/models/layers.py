@@ -128,6 +128,36 @@ class MultiHeadAttention(nn.Module):
         """K/V projections only (for cache fills)."""
         return self.k_proj(key), self.v_proj(value)
 
+    def project_qkv(self, x: Array) -> tuple[Array, Array, Array]:
+        """Q, K, V of the SAME input in one [D, 3D] matmul.
+
+        The decode step projects the new tokens three times from the same
+        activation; three separate [B*Q, D] x [D, D] dots are three XLA
+        fusions with three HBM round trips of x. Concatenating the kernels
+        (loop-invariant, hoisted out of the rollout scan by XLA) makes one
+        MXU call at 3x the N dimension — measurably fewer, larger fusions in
+        the streaming rollout's step body. Bit-identical per output block
+        (each column block is the same dot product as the separate call).
+        """
+        w = jnp.concatenate(
+            [
+                self.q_proj.variables["params"]["kernel"],
+                self.k_proj.variables["params"]["kernel"],
+                self.v_proj.variables["params"]["kernel"],
+            ],
+            axis=1,
+        ).astype(self.dtype)
+        b = jnp.concatenate(
+            [
+                self.q_proj.variables["params"]["bias"],
+                self.k_proj.variables["params"]["bias"],
+                self.v_proj.variables["params"]["bias"],
+            ]
+        ).astype(self.dtype)
+        y = x @ w + b
+        D = self.d_model
+        return y[..., :D], y[..., D : 2 * D], y[..., 2 * D :]
+
     def attend(
         self,
         query: Array,  # [B, Tq, D]
@@ -342,7 +372,7 @@ class TransformerDecoderLayer(nn.Module):
         Returns (out, k_buf, v_buf, k_scale_buf, v_scale_buf).
         """
         quantized = jnp.dtype(k_buf.dtype) == jnp.int8
-        k_new, v_new = self.self_attn.project_kv(tgt, tgt)
+        q_new, k_new, v_new = self.self_attn.project_qkv(tgt)
         B, W, K, A, H = k_buf.shape
         if quantized:
             from ctrl_sim_tpu.ops.attention import quantize_rows
@@ -372,7 +402,7 @@ class TransformerDecoderLayer(nn.Module):
         flat_k = k_buf.reshape(B, W * K * A, H)
         flat_v = v_buf.reshape(B, W * K * A, H)
         if use_pallas:
-            q = self.self_attn.q_proj(tgt)
+            q = q_new
             mask2d = mask.reshape(mask.shape[-2], mask.shape[-1])
             if quantized:
                 from ctrl_sim_tpu.ops.attention import cached_decode_attention_q8
@@ -399,7 +429,11 @@ class TransformerDecoderLayer(nn.Module):
                 flat_v = flat_v.astype(self.dtype) * v_scale_buf.reshape(
                     B, W * K * A, 1
                 ).astype(self.dtype)
-            sa = self.self_attn.attend(tgt, flat_k, flat_v, mask=mask)
+            sa = self.self_attn.out_proj(
+                self.self_attn._attend_impl(
+                    q_new, flat_k, flat_v, mask, None, True
+                )
+            )
         out = self._after_self_attn(
             tgt, sa, memory, memory_key_padding_mask, True, mem_kv=mem_kv
         )

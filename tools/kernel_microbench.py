@@ -134,6 +134,26 @@ def body_shipped_r3(q, k, v, mask, o_ref):
         ).astype(o_ref.dtype)
 
 
+def body_shipped_concat(q, k, v, mask, o_ref):
+    """shipped_r3 body with head outputs concatenated and stored once
+    (isolates the store-structure difference from the projfold variants)."""
+    bias = mask.astype(jnp.float32) * 1e30 - 1e30
+    outs = []
+    for h in range(HEADS):
+        sl = slice(h * D, (h + 1) * D)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        e = jnp.exp2(jnp.minimum(s, 100.0) + bias).astype(v.dtype)
+        den = jnp.sum(e.astype(jnp.float32), -1, keepdims=True)
+        outs.append(
+            jnp.dot(e, v[:, sl], preferred_element_type=jnp.float32)
+            / jnp.maximum(den, 1e-30)
+        )
+    o_ref[:, :] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
 def body_maxfree_denomdot(q, k, v, mask, o_ref):
     """No max + bf16 weights + denominator folded into the AV dot as a ones
     column (no separate [Q, N] reduce pass at all)."""
@@ -652,6 +672,96 @@ def run_block(lb, name, body=body_full):
           f"K+V read {gbps:7.1f} GB/s   (checksum {s:.1f})")
 
 
+def run_projfold(name, fold_out=True):
+    """VERDICT r4 candidate: fold the new tokens' Q/K/V (and output)
+    projections into the decode kernel, betting their MXU time hides under
+    the K/V cache DMA. The body receives the raw token activations x [Q, H]
+    plus Wqkv [H, 3H] / Wout [H, H] in VMEM (grid-invariant blocks), computes
+    the projections per program, then runs the shipped-r3 attention body on
+    the in-kernel q. K/V cache writes are NOT modeled (they are tiny DUS
+    stores); this isolates the matmul-fold question: per-call time vs
+    shipped_r3 at identical shapes."""
+
+    def kern(x_ref, wqkv_ref, wout_ref, k_ref, v_ref, mask_ref, o_ref):
+        x = x_ref[0]
+        qkv = jnp.dot(
+            x, wqkv_ref[:], preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)
+        q = qkv[:, :H]
+        # k/v of the new tokens: computed (cost modeled) but the attention
+        # reads the cache operands, as production would
+        _knew, _vnew = qkv[:, H : 2 * H], qkv[:, 2 * H :]
+        k, v, mask = k_ref[0], v_ref[0], mask_ref[:]
+        bias = mask.astype(jnp.float32) * 1e30 - 1e30
+        outs = []
+        for h in range(HEADS):
+            sl = slice(h * D, (h + 1) * D)
+            s = jax.lax.dot_general(
+                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            e = jnp.exp2(jnp.minimum(s, 100.0) + bias).astype(v.dtype)
+            den = jnp.sum(e.astype(jnp.float32), -1, keepdims=True)
+            outs.append(
+                jnp.dot(e, v[:, sl], preferred_element_type=jnp.float32)
+                / jnp.maximum(den, 1e-30)
+            )
+        out = jnp.concatenate(outs, axis=1).astype(jnp.bfloat16)
+        if fold_out:
+            out = jnp.dot(
+                out + _knew * 0 + _vnew * 0,  # keep the k/v fold live
+                wout_ref[:], preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+        o_ref[0] = out
+
+    f = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Q, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 3 * H), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, N), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Q, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Q, H), jnp.bfloat16),
+    )
+
+    @jax.jit
+    def many(x, wqkv, wout, k, v, mask):
+        def step(c, _):
+            o = f(x + c.astype(jnp.bfloat16) * 0, wqkv, wout, k, v, mask)
+            return c + 1, o[0, 0, 0]
+
+        c, ys = jax.lax.scan(step, jnp.asarray(0, jnp.int32), None, length=REPS)
+        return ys
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, Q, H)), jnp.bfloat16)
+    wqkv = jnp.asarray(rng.normal(size=(H, 3 * H)) * 0.06, jnp.bfloat16)
+    wout = jnp.asarray(rng.normal(size=(H, H)) * 0.06, jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, N, H)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, N, H)), jnp.bfloat16)
+    mask = jnp.asarray(rng.random((Q, N)) > 0.3, jnp.int8)
+
+    out = many(x, wqkv, wout, k, v, mask)
+    float(np.asarray(out).sum())
+    t0 = time.time()
+    out = many(x, wqkv, wout, k, v, mask)
+    s = float(np.asarray(out).sum())
+    dt = time.time() - t0
+    per_call = dt / REPS * 1e6
+    gbps = (2 * N * H * 2 * B) / (dt / REPS) / 1e9
+    print(
+        f"{name:20s} B={B:3d} {per_call:8.1f} us/call   "
+        f"K+V read {gbps:7.1f} GB/s   (checksum {s:.1f})"
+    )
+
+
 def main():
     which = sys.argv[1:] or ["sweep"]
     print(f"Q={Q} N={N} H={H} heads={HEADS}, {REPS} reps under one jit")
@@ -705,6 +815,11 @@ def main():
         run_flash(2, "flash2", check_against=ref)
         run_flash(4, "flash4", check_against=ref)
         run_flash(8, "flash8", check_against=ref)
+    if "projfold" in which:
+        run(body_shipped_r3, "shipped_r3")
+        run(body_shipped_concat, "shipped_concat")
+        run_projfold("projfold_qkv_out", fold_out=True)
+        run_projfold("projfold_qkv", fold_out=False)
 
 
 if __name__ == "__main__":

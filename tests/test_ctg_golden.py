@@ -265,6 +265,56 @@ def test_dit_forward_matches_executed_reference(g):
     )
 
 
+@pytest.mark.slow
+def test_dit_forward_full_size():
+    """Executed-torch DiT parity at the reference's REAL operating point:
+    256-d, 8 heads, ffn 1024, 2 encoder layers, 24 agents, horizon 10+22,
+    200x100 per-agent road crops, 350 RTG bins (cfgs/model/base.yaml +
+    ctg_plus_plus.yaml + cfgs/dataset/waymo/{base,ctg_plus_plus}.yaml).
+    Weights and float inputs were f16-snapped before the torch forward
+    (tools/make_ctg_goldens.py --full), so storage is lossless and both
+    sides compute f32 on identical values (VERDICT r4 item 6)."""
+    path = os.path.join(
+        os.path.dirname(__file__), "goldens", "reference_ctg_full.npz"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference_ctg_full.npz not generated")
+    gf = np.load(path)
+    cfg = load_config(
+        {
+            "model.hidden_dim": 256,
+            "model.num_heads": 8,
+            "model.dim_feedforward": 1024,
+            "model.num_transformer_encoder_layers": L_ENC,
+            "model.compute_dtype": "float32",
+            "model.n_diffusion_steps": 100,
+            "model.n_eval_diffusion_step": 50,
+            "model.use_rtg": True,
+            "model.ctg_plus_plus": True,
+            "waymo.train_context_length": 32,
+            "waymo.input_horizon": 10,
+            "waymo.max_num_agents": 24,
+            "waymo.rtg_discretization": 350,
+        }
+    )
+    w = _W(gf, "dit_w_", skip=("pos_encoder.pe",))
+    params = {"params": _dit_params(w, use_rtg=True)}
+    w.assert_all_used()
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+    model = DiT(cfg)
+    out = model.apply(
+        params,
+        jnp.asarray(gf["in_future_k"], jnp.float32),
+        {k: (jnp.asarray(v, jnp.float32) if v.dtype == np.float16 else v)
+         for k, v in _cond(gf).items()},
+        jnp.asarray(gf["in_diff_step"]),
+        True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), gf["dit_out"], atol=5e-4, rtol=1e-4
+    )
+
+
 def test_rtg_model_matches_executed_reference(g):
     # the reference RTGModel *constructs* a diffusion-step encoder and the
     # positional table but never uses the former in forward

@@ -217,5 +217,93 @@ def main() -> None:
     )
 
 
+def main_full() -> None:
+    """Full-size CTG++ DiT denoiser golden (VERDICT r4 item 6, second half).
+
+    The reference's real operating point: 256-d, 8 heads, ffn 1024, 2
+    encoder layers, 24 agents, input_horizon 10 / future 22 (context 32),
+    per-agent 200x100 road crops, 350 RTG bins
+    (cfgs/model/{base,ctg_plus_plus}.yaml +
+    cfgs/dataset/waymo/{base,ctg_plus_plus}.yaml). One executed DiT forward
+    at B=1 with use_rtg=True (superset of embedding paths). Weights AND
+    inputs are f16-snapped before the torch forward so the fixture stores
+    losslessly in float16.
+
+    Run (CPU, repo root):
+        PYTHONPATH=. JAX_PLATFORMS=cpu python tools/make_ctg_goldens.py --full
+    """
+    g = globals()
+    g["B"], g["N"] = 1, 24
+    g["T_IN"], g["T_OUT"] = 10, 22
+    g["T"] = 32
+    g["HID"], g["HEADS"], g["FFN"] = 256, 8, 1024
+    g["S"], g["P"] = 200, 100
+    g["RTG_DISC"] = 350
+    out_path = os.path.join(os.path.dirname(__file__), "..", "tests",
+                            "goldens", "reference_ctg_full.npz")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from make_dit_goldens import _install_stubs
+
+    _install_stubs()
+    guidance_stub = types.ModuleType("modules.diffusion_guidance")
+    guidance_stub.n_step_guided_p_sample = lambda *a, **k: None
+    guidance_stub.GoalGuide = object
+    guidance_stub.CollisionGuide = object
+    sys.modules["modules.diffusion_guidance"] = guidance_stub
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import importlib
+
+    import torch
+
+    ctg_arch = importlib.import_module("modules.ctg_arch")
+
+    out: dict[str, np.ndarray] = {}
+    rng = np.random.default_rng(77)
+    cond_np = _make_cond(rng)
+    for k, v in cond_np.items():
+        if v.dtype == np.float32:
+            cond_np[k] = v.astype(np.float16).astype(np.float32)
+        out[f"in_{k}"] = (
+            cond_np[k].astype(np.float16)
+            if cond_np[k].dtype == np.float32
+            else cond_np[k]
+        )
+
+    torch.manual_seed(13)
+    dit = ctg_arch.DiT(_cfg(use_rtg=True)).eval()
+    with torch.no_grad():
+        for p_ in dit.parameters():
+            p_.copy_(p_.half().float())
+    future_k = (
+        rng.normal(size=(B, N, T_OUT, TGT_K + 2))
+        .astype(np.float16)
+        .astype(np.float32)
+    )
+    diff_step = np.asarray([42], np.int64)
+    out["in_future_k"] = future_k.astype(np.float16)
+    out["in_diff_step"] = diff_step
+    with torch.no_grad():
+        y = dit(
+            torch.from_numpy(future_k), _cond_tuple(torch, cond_np),
+            torch.from_numpy(diff_step), eval=True,
+        )
+    out["dit_out"] = y.numpy()
+    n_w = 0
+    for name, p_ in dit.named_parameters():
+        out["dit_w_" + name] = p_.detach().numpy().astype(np.float16)
+        n_w += 1
+
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    np.savez_compressed(out_path, **out)
+    size = os.path.getsize(os.path.abspath(out_path)) / 1e6
+    print(f"wrote {os.path.abspath(out_path)}: dit_out {y.shape}, "
+          f"{n_w} weight tensors, {size:.1f} MB")
+
+
 if __name__ == "__main__":
-    main()
+    if "--full" in sys.argv:
+        main_full()
+    else:
+        main()

@@ -389,10 +389,15 @@ class EvalConfig:
     # so sparse scenes stop paying dead-slot traffic (BENCH_NOTES.md: 8/16/24
     # slots -> 24.0/17.3/13.7k env-steps/s/chip). Use multiples of 8 (the
     # sublane tile — a misaligned crop is SLOWER than full width). Deviation
-    # vs full-width: pad slots' zero-embedding phantom keys are no longer
-    # attended; measured at seed-noise level on a trained model
-    # (artifacts/eval_r04_slots_ab.json, tests/test_eval_artifact.py) and
-    # machinery-pinned in tests/test_packed_slots.py.
+    # vs full-width WHEN every in-range agent fits the crop: pad slots'
+    # zero-embedding phantom keys are no longer attended; measured at
+    # seed-noise level on a trained model (artifacts/eval_r04_slots_ab.json,
+    # tests/test_eval_artifact.py) and machinery-pinned in
+    # tests/test_packed_slots.py. If MORE than N agents are in range,
+    # direct run_streaming callers drop the overflow to GT replay and kept
+    # agents' slot ids compact (rollout/groups.py:packed_trivial_groups
+    # documents the exact rule); the evaluator path via build_focal_groups
+    # partitions such scenes into multiple groups instead.
     agent_slots: int = 0
 
 

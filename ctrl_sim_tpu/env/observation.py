@@ -212,9 +212,19 @@ def road_point_features(
     type, each group nearest-first.
 
     Neighbor = the next sampled point on the polyline; a polyline's last
-    valid point neighbors itself (road.cc:45-60 InitRoadPoints — the same
-    rule applies at this storage's chunk boundaries, where the original
-    line was split into length-L rows).
+    valid point neighbors itself (road.cc:45-60 InitRoadPoints).
+
+    KNOWN PARITY DEVIATION (ADVICE r4): this storage splits long polylines
+    into length-L rows (data/scenario.py:_chunk_roads), and the
+    self-neighbor rule is applied per ROW — so the last point of every full
+    chunk row gets neighbor_dist=0 / neighbor_azimuth=0 where the reference
+    (which keeps whole polylines) reports the true next-point vector.
+    Post-chunking the rows carry no polyline id, so stitching would need a
+    loader-side channel; the effect is bounded at one point per full chunk
+    row — at most 1/L of a chunked polyline's points (L=100 default, i.e.
+    <=1%), each indistinguishable from a genuine polyline endpoint. The
+    committed goldens (tests/test_observation_roadpoints.py) pin THIS
+    behavior, so the deviation is visible and versioned, not silent.
     """
     P, L, _ = road_points.shape
     pts = road_points[..., :2].reshape(P * L, 2)

@@ -206,7 +206,19 @@ def packed_trivial_groups(
     (dataset.py:289-319): the ``crop_size`` *closest* in-range agents,
     packed into the leading slots in original-index order — each kept agent
     gets exactly the slot (and agent-id embedding) it would have had in a
-    full-width crop of the same scene. Traceable."""
+    full-width crop of the same scene. Traceable.
+
+    When every in-range agent fits the crop, the ONLY deviation vs a
+    full-width crop is the unattended pad-slot phantom keys. OVERFLOW
+    semantics (more in-range agents than ``crop_size``, ADVICE r4): agents
+    beyond the crop_size closest are dropped from the group — controlled
+    ones silently fall back to GT log replay, and kept agents' packed slots
+    (hence slot/agent-id embeddings) shift relative to the full-width crop.
+    That matches the reference's own crop rule (it also drops all but the
+    closest max_num_agents), but with a smaller cap; size ``crop_size`` so
+    the expected in-range count fits, or use build_focal_groups (the
+    evaluator path), which partitions overflow scenes into multiple groups
+    instead of dropping agents."""
     E, A = controlled_mask.shape
     # keep the crop_size closest relevant agents (ties: lower index first —
     # np.argsort stable ascending, matching the reference's crop)

@@ -72,17 +72,21 @@ def test_window_restricts_past():
     np.testing.assert_array_equal(windowed, expect)
 
 
-def test_stream_step_masks_match_dynamic_ring():
+@pytest.mark.parametrize("attend_own", [False, True])
+@pytest.mark.parametrize("steps,window", [(9, 4), (3, 8)])
+def test_stream_step_masks_match_dynamic_ring(steps, window, attend_own):
     """stream_step_masks (precomputed outside the rollout scan) must equal
     the decoder's dynamic construction (decode_step_groups) at every step —
     the ring slot->timestep labels are simulated here exactly as the
-    carried slot_t evolves."""
+    carried slot_t evolves. Parametrized over attend_own_return_action
+    (run_streaming premasks any default-family config, ADVICE r4) and a
+    steps < window episode (ring never wraps)."""
     import numpy as np
 
     from ctrl_sim_tpu.ops.masks import stream_step_masks, visible
 
-    steps, window, A, K, state_index = 9, 4, 3, 3, 0
-    m1, m2 = stream_step_masks(steps, window, A, K, state_index)
+    A, K, state_index = 3, 3, 0
+    m1, m2 = stream_step_masks(steps, window, A, K, state_index, attend_own)
     m1, m2 = np.asarray(m1), np.asarray(m2)
 
     def dynamic(slot_t, queries):
@@ -98,7 +102,8 @@ def test_stream_step_masks_match_dynamic_ring():
             visible(
                 ti=t_i[:, None], ai=a_i[:, None], ii=ii[:, None],
                 tj=t_j[None, :], aj=a_j[None, :], kj=k_j[None, :],
-                jj=jj[None, :], state_index=state_index, window=window,
+                jj=jj[None, :], state_index=state_index,
+                attend_own_return_action=attend_own, window=window,
             )
         ) & (t_j[None, :] >= 0)
         return m.astype(np.int8)

@@ -106,3 +106,33 @@ def test_decode_kernel_bf16_inputs_interpret():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(want), atol=5e-2, rtol=5e-2
     )
+
+
+def test_decode_kernel_q_pad_path_interpret():
+    """Q not a multiple of 8 exercises the Mosaic sublane-alignment pad
+    branch (the packed 12-slot single-group pass hits it in production):
+    rows are padded fully-masked and sliced off — unpadded rows must equal
+    the einsum reference for both the bf16 and q8 kernels (ADVICE r4)."""
+    rng = np.random.default_rng(3)
+    B, Q, N, H, heads = 2, 12, 48, 64, 2
+    q = jnp.asarray(rng.normal(size=(B, Q, H)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, N, H)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, N, H)), jnp.float32)
+    mask = jnp.asarray(rng.random((Q, N)) > 0.3)
+    mask = mask.at[:, 0].set(True)
+
+    out = cached_decode_attention(q, k, v, mask, heads, interpret=True)
+    assert out.shape == (B, Q, H)
+    want = _reference(q, k, v, mask, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+
+    k_i8, ks = quantize_rows(k)
+    v_i8, vs = quantize_rows(v)
+    out8 = cached_decode_attention_q8(
+        q, k_i8, v_i8, ks, vs, mask, heads, interpret=True
+    )
+    assert out8.shape == (B, Q, H)
+    kd = k_i8.astype(jnp.float32) * ks[..., None]
+    vd = v_i8.astype(jnp.float32) * vs[..., None]
+    want8 = _reference(q, kd, vd, mask, heads)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(want8), atol=3e-3)

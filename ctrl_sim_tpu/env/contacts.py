@@ -13,9 +13,10 @@ This module replicates that response with a TPU-native all-pairs Jacobi
 impulse solver over the dense [A, A] contact matrix:
 
 - contact geometry from the same SAT the collision detector uses: penetration
-  normal = the minimum-overlap axis of the 4 box axes, depth = that overlap,
-  contact point = midpoint of the two deepest support vertices (Box2D clips a
-  2-point manifold; a 1-point approximation is the documented simplification);
+  normal = the minimum-overlap axis of the 4 box axes, depth = that overlap;
+  the 2-point manifold mirrors b2CollidePolygons (incident-edge endpoints
+  clipped to the reference face, skin-filtered separations, world points at
+  the b2WorldManifold midpoints);
 - mass/inertia from the fixture: m = rho * L * W, I = m (L^2 + W^2) / 12
   (b2PolygonShape::ComputeMass for SetAsBox);
 - velocity pass: ``velocity_iterations`` sweeps; within each sweep every
@@ -24,9 +25,11 @@ impulse solver over the dense [A, A] contact matrix:
   cases), then friction per point (|lambda_t| <= mu lambda_n) — pairs are
   Jacobi w.r.t. each other (Box2D is Gauss-Seidel across contacts; at the
   1-2 contacts/vehicle these scenes produce the fixed points agree);
-- position pass: ``position_iterations`` Baumgarte sweeps pushing the bodies
-  apart along the contact normal by beta * (depth - slop), split by inverse
-  mass (linear-only; Box2D also rotates — second documented simplification).
+- position pass: ``position_iterations`` sweeps of Box2D's sequential
+  per-point pseudo-impulse correction (beta * (separation + slop), clamped),
+  applied with BOTH translation and rotation — the rotational part is what
+  the deep-penetration fixtures needed (round 4's linear-only pass left
+  2.35 m on the oblique fixture; with rotation it is 0.03 m).
 
 Simulation order matches b2World::Step: FreeCar sets velocities, the velocity
 constraints are solved, THEN positions integrate with the corrected
@@ -37,9 +40,8 @@ re-integrated bodies.
 Enabled with ``sim.resolve_contacts`` (default ON — the reference always
 simulates contacts). The solver is pinned against EXECUTED Box2D collision
 streams in tests/test_physics_goldens.py over four fixtures (final
-deviation vs 14-26 m pass-through: head-on 0.010 m, t-bone 0.43 m, 3-car
-pileup 0.15 m, oblique/glancing 2.35 m — the last carries the
-impact-instant manifold-placement approximation); solver-internal
+deviation vs 14-26 m pass-through: head-on 0.010 m, t-bone 0.54 m, 3-car
+pileup 0.14 m, oblique/glancing 0.03 m); solver-internal
 invariants (momentum, inelasticity) live in tests/test_contacts.py, with
 deviation numbers in COMPONENTS.md.
 """
@@ -80,12 +82,9 @@ def _contact_geometry(
     """All-pairs SAT contact manifold.
 
     Returns (touching [A, A] bool on i<j, normal [A, A, 2] from i to j,
-    depth [A, A], points [A, A, 2, 2]) — a 2-point manifold: the two deepest
-    vertices of the *incident* box (the one not owning the min-overlap axis),
-    clamped to the reference box's extent along the contact tangent. This is
-    the vectorized equivalent of Box2D's face-clipping (b2CollidePolygons):
-    face-face contacts get a symmetric 2-point manifold (no spurious torque),
-    corner contacts degenerate to two nearby points.
+    depth [A, A], points [A, A, 2, 2] world manifold points, point_valid
+    [A, A, 2] skin filter, sep [A, A, 2] per-point separations) — the
+    vectorized b2CollidePolygons manifold; see the block comments below.
     """
     A = position.shape[0]
     corners = obb_corners(position, heading, length, width)  # [A, 4, 2]
@@ -123,21 +122,40 @@ def _contact_geometry(
     flip = jnp.sum(normal * d_ij, axis=-1) < 0.0
     normal = jnp.where(flip[..., None], -normal, normal)
 
-    # 2-point manifold: the incident box is the one NOT owning the
-    # min-overlap axis (axes 0-1 belong to i, 2-3 to j)
+    # 2-point manifold, mirroring b2CollidePolygons: the incident box is
+    # the one NOT owning the min-overlap axis (axes 0-1 belong to i, 2-3
+    # to j); the manifold points are the INCIDENT EDGE's endpoints (the
+    # incident-box face most anti-parallel to the contact normal,
+    # b2FindIncidentEdge), clipped to the reference face's tangent extent,
+    # and kept only while their separation is within Box2D's polygon skin.
+    # (Round 4 used "the two deepest incident corners, always both
+    # active" — on glancing corner impacts that fed the solver a phantom
+    # second point Box2D never creates, whose spurious impulse + torque
+    # was the dominant oblique-fixture error: 0.13 rad of heading
+    # divergence in the first contact step, compounding to 2.35 m.)
     inc_is_j = kmin < 2  # [A, A]
     corners_i = jnp.broadcast_to(corners[:, None], (A, A, 4, 2))
     corners_j = jnp.broadcast_to(corners[None, :], (A, A, 4, 2))
     inc_corners = jnp.where(inc_is_j[..., None, None], corners_j, corners_i)
     ref_corners = jnp.where(inc_is_j[..., None, None], corners_i, corners_j)
+    inc_axes = jnp.where(inc_is_j[..., None, None], ax_j, ax_i)  # [A, A, 2, 2]
 
-    # penetration order along the normal: incident = j sinks along -n,
-    # incident = i sinks along +n
-    proj_inc = jnp.einsum("ijcm,ijm->ijc", inc_corners, normal)  # [A, A, 4]
-    key = jnp.where(inc_is_j[..., None], proj_inc, -proj_inc)
-    # two smallest of the 4 corner keys, sort-free: rank by pairwise
-    # comparison with index tie-breaks (argsort is stable), then one-hot
-    # select — same values as argsort(key)[..., :2] without the TPU sort
+    # outward reference-face normal: normal is oriented i -> j, so it
+    # points out of i's face; out of j's face is its negation
+    n_out = jnp.where(inc_is_j[..., None], normal, -normal)  # [A, A, 2]
+
+    # incident edge normal = -sign(d) * (incident axis with max |d|),
+    # d = axis . n_out (b2FindIncidentEdge's min-dot edge)
+    d_ax = jnp.einsum("ijkm,ijm->ijk", inc_axes, n_out)  # [A, A, 2]
+    pick1 = jnp.abs(d_ax[..., 1]) > jnp.abs(d_ax[..., 0])
+    ax_pick = jnp.where(pick1[..., None], inc_axes[:, :, 1], inc_axes[:, :, 0])
+    d_pick = jnp.where(pick1, d_ax[..., 1], d_ax[..., 0])
+    e_n = -jnp.sign(d_pick)[..., None] * ax_pick  # [A, A, 2]
+
+    # the edge with outward normal e_n = the two corners extremal along it;
+    # two smallest keys, sort-free: rank by pairwise comparison with index
+    # tie-breaks (stable), then one-hot select — no TPU sort in the scan
+    key = -jnp.einsum("ijcm,ijm->ijc", inc_corners, e_n)  # [A, A, 4]
     lt = (key[..., :, None] > key[..., None, :]) | (
         (key[..., :, None] == key[..., None, :])
         & (kidx[:, None] > kidx[None, :])
@@ -145,7 +163,7 @@ def _contact_geometry(
     rank = jnp.sum(lt, axis=-1)  # [A, A, 4] in 0..3
     sel0 = (rank == 0)[..., None]
     sel1 = (rank == 1)[..., None]
-    deepest2 = jnp.stack(
+    edge2 = jnp.stack(
         [
             jnp.sum(inc_corners * sel0, axis=2),
             jnp.sum(inc_corners * sel1, axis=2),
@@ -153,18 +171,35 @@ def _contact_geometry(
         axis=2,
     )  # [A, A, 2, 2]
 
-    # clamp the incident face to the reference box's tangent extent
-    # (the vectorized face clip)
+    # clip the incident edge to the reference face's tangent extent (for
+    # rectangles the face corners span the box's full tangent extent, so
+    # this equals b2ClipSegmentToLine against both side planes)
     tangent = jnp.stack([-normal[..., 1], normal[..., 0]], axis=-1)
     ref_t = jnp.einsum("ijcm,ijm->ijc", ref_corners, tangent)  # [A, A, 4]
     t_lo, t_hi = ref_t.min(-1), ref_t.max(-1)
-    pt_t = jnp.einsum("ijpm,ijm->ijp", deepest2, tangent)  # [A, A, 2]
+    pt_t = jnp.einsum("ijpm,ijm->ijp", edge2, tangent)  # [A, A, 2]
     pt_t_cl = jnp.clip(pt_t, t_lo[..., None], t_hi[..., None])
-    points = deepest2 + (pt_t_cl - pt_t)[..., None] * tangent[..., None, :]
+    points = edge2 + (pt_t_cl - pt_t)[..., None] * tangent[..., None, :]
+
+    # separation filter: keep clip points within the polygon skin
+    # (b2CollidePolygons keeps separation <= totalRadius; b2_polygonRadius
+    # = 2 * linearSlop per polygon -> 4 * linearSlop total)
+    ref_face = jnp.einsum("ijcm,ijm->ijc", ref_corners, n_out).max(-1)
+    sep = jnp.einsum("ijpm,ijm->ijp", points, n_out) - ref_face[..., None]
+    point_valid = sep <= 4.0 * LINEAR_SLOP
+
+    # world manifold point = midpoint of the clip point and its projection
+    # onto the reference face (b2WorldManifold::Initialize: 0.5*(cA + cB),
+    # the equal polygon radii cancel) — i.e. the clip point slid HALF the
+    # separation back out along the normal. The solver's torque arms come
+    # from these world points; using the raw incident corners instead
+    # under-rotated the deep first-impact step (t-bone: our w -1.6 rad/s
+    # vs the executed engine's -2.5 at 0.46 m depth).
+    points = points - 0.5 * sep[..., None] * n_out[:, :, None, :]
 
     upper = jnp.arange(A)[:, None] < jnp.arange(A)[None, :]
     touching = touching & upper & active[:, None] & active[None, :]
-    return touching, normal, depth, points
+    return touching, normal, depth, points, point_valid, sep
 
 
 def _solve_velocities(
@@ -176,6 +211,7 @@ def _solve_velocities(
     touching: Array,  # [A, A] (i<j)
     normal: Array,  # [A, A, 2]
     points: Array,  # [A, A, P, 2] — 2-point manifold
+    point_valid: Array,  # [A, A, P] — separation-filtered manifold points
     iterations: int,
 ) -> tuple[Array, Array]:
     """Accumulated-impulse Jacobi solve over the 2-point manifolds,
@@ -200,7 +236,7 @@ def _solve_velocities(
         + rin[..., 0] * rin[..., 1] * inv_i[:, None]
         + rjn[..., 0] * rjn[..., 1] * inv_i[None, :]
     )  # [A, A]
-    solvable = touching[..., None] & (kn > 0.0)
+    solvable = touching[..., None] & (kn > 0.0) & point_valid
     kn = jnp.where(kn > 0.0, kn, 1.0)
     kt = jnp.where(kt > 0.0, kt, 1.0)
     # block solve only when K is well-conditioned (Box2D
@@ -243,6 +279,19 @@ def _solve_velocities(
 
     def body(_, carry):
         v, w, acc_n, acc_t = carry
+        # ---- friction FIRST, sequentially per manifold point (Box2D's
+        # SolveVelocityConstraints order: "solve tangent constraints first
+        # because non-penetration is more important than friction"),
+        # |acc_t| <= mu * acc_n against the PREVIOUS sweep's normals -------
+        for sel in (jnp.asarray([1.0, 0.0]), jnp.asarray([0.0, 1.0])):
+            vt = jnp.sum(vrel(v, w) * t_p, axis=-1)
+            dt_ = jnp.where(solvable, -vt / kt, 0.0) * sel
+            hi = FRICTION * acc_n
+            new_t = jnp.clip(acc_t + dt_, -hi, hi)
+            dt_ = jnp.where(sel > 0, new_t - acc_t, 0.0)
+            acc_t = jnp.where(sel > 0, new_t, acc_t)
+            v, w = apply_points(v, w, jnp.zeros_like(dt_), dt_)
+
         # ---- normal impulses: exact 2x2 block LCP per pair ---------------
         # Box2D's block solver (b2ContactSolver::SolveVelocityConstraints):
         # find x >= 0 with vn' = K x + b complementarity, b = vn - K a.
@@ -296,17 +345,6 @@ def _solve_velocities(
         dn = new_n - acc_n
         acc_n = new_n
         v, w = apply_points(v, w, dn, jnp.zeros_like(dn))
-
-        # ---- friction, sequentially per manifold point (Box2D solves each
-        # tangent constraint Gauss-Seidel), |acc_t| <= mu * acc_n ----------
-        for sel in (jnp.asarray([1.0, 0.0]), jnp.asarray([0.0, 1.0])):
-            vt = jnp.sum(vrel(v, w) * t_p, axis=-1)
-            dt_ = jnp.where(solvable, -vt / kt, 0.0) * sel
-            hi = FRICTION * acc_n
-            new_t = jnp.clip(acc_t + dt_, -hi, hi)
-            dt_ = jnp.where(sel > 0, new_t - acc_t, 0.0)
-            acc_t = jnp.where(sel > 0, new_t, acc_t)
-            v, w = apply_points(v, w, jnp.zeros_like(dt_), dt_)
         return v, w, acc_n, acc_t
 
     zeros = jnp.zeros_like(kn)
@@ -330,51 +368,88 @@ def _correct_positions(
     width: Array,
     active: Array,
     inv_m: Array,
+    inv_i: Array,
     iterations: int,
-) -> Array:
-    """Baumgarte overlap removal, linear-only (heading untouched).
+) -> tuple[Array, Array]:
+    """Box2D-style positional correction WITH rotation.
 
-    Geometry (SAT manifold) is computed ONCE and frozen across the
-    ``iterations`` pushes; each iteration analytically shrinks the pair's
-    depth by the separation it just applied instead of re-colliding.
+    b2ContactSolver::SolvePositionConstraints corrects each manifold point
+    sequentially: a pseudo-impulse -C/K along the normal applied at the
+    point moves AND rotates both bodies (C = beta * (separation + slop)
+    clamped to b2_maxLinearCorrection). Round 4's linear-only pass left the
+    post-impact headings uncorrected, which is exactly where the deep-
+    penetration fixtures diverged (the executed engine's first t-bone step
+    rotates ~1.5x more than the velocity solve alone: the remainder IS the
+    rotational position pass).
+
+    Geometry (SAT manifold, world points, per-point separations) is
+    computed ONCE at the integrated pose and frozen across the
+    ``iterations``; each correction analytically advances both points'
+    separations through the pair's K-coupling instead of re-colliding.
     Box2D re-collides every iteration — the difference only matters for
     multi-body pileups where one pair's push re-deepens another pair
-    within the same step, and the executed-Box2D deviation bounds
+    within the same step; the executed-Box2D deviation bounds
     (tests/test_physics_goldens.py) cover it. The re-collide form tripled
     the contact path's per-step SAT cost inside the rollout scan.
     """
-    touching, normal, depth0, _ = _contact_geometry(
+    touching, normal, _, points, point_valid, sep0 = _contact_geometry(
         position, heading, length, width, active
     )
-    denom = inv_m[:, None] + inv_m[None, :]
-    weight = jnp.where(
-        touching & (denom > 0.0),
-        1.0 / jnp.where(denom > 0, denom, 1.0),
-        0.0,
-    )
+    r_i = points - position[:, None, None]  # [A, A, P, 2] (frozen arms)
+    r_j = points - position[None, :, None]
+    n_p = normal[..., None, :]
+    rin = _cross2(r_i, n_p)  # [A, A, P]
+    rjn = _cross2(r_j, n_p)
+    inv_m2 = inv_m[:, None, None] + inv_m[None, :, None]
+    kp = inv_m2 + rin**2 * inv_i[:, None, None] + rjn**2 * inv_i[None, :, None]
+    # cross-coupling: how much point q separates when point p is pushed
+    k_cross = (
+        inv_m2[..., 0]
+        + rin[..., 0] * rin[..., 1] * inv_i[:, None]
+        + rjn[..., 0] * rjn[..., 1] * inv_i[None, :]
+    )  # [A, A]
+    ok = touching[..., None] & point_valid & (kp > 0.0)
+    kp_safe = jnp.where(kp > 0.0, kp, 1.0)
 
     def body(_, carry):
-        pos, depth = carry
-        corr = jnp.clip(
-            BAUMGARTE * (depth - LINEAR_SLOP), 0.0, MAX_CORRECTION
-        )
-        share = weight * corr
-        push = share[..., None] * normal  # applied -push*invm_i to i, +.. to j
-        dpos = (
-            jnp.sum(push, axis=0) * inv_m[:, None]
-            - jnp.sum(push, axis=1) * inv_m[:, None]
-        )
-        # the pair separates by share * denom = corr along its normal
-        depth = depth - jnp.where(touching, share * denom, 0.0)
-        return pos + dpos, depth
+        pos, hd, sep = carry
+        for p_idx in (0, 1):
+            q_idx = 1 - p_idx
+            # C = beta * (sep + slop) clamped to [-maxCorrection, 0]
+            C = jnp.clip(
+                BAUMGARTE * (sep[..., p_idx] + LINEAR_SLOP),
+                -MAX_CORRECTION,
+                0.0,
+            )
+            lam = jnp.where(
+                ok[..., p_idx], -C / kp_safe[..., p_idx], 0.0
+            )  # [A, A] >= 0
+            P = lam[..., None] * normal  # [A, A, 2]
+            dpos = (
+                jnp.sum(P, axis=0) * inv_m[:, None]
+                - jnp.sum(P, axis=1) * inv_m[:, None]
+            )
+            # rotation: body as j gets +inv_i*cross(r_j, P), as i gets -
+            dhd = (
+                jnp.sum(rjn[..., p_idx] * lam, axis=0)
+                - jnp.sum(rin[..., p_idx] * lam, axis=1)
+            ) * inv_i
+            # analytic separation advance through the pair coupling
+            dsep_p = lam * kp[..., p_idx]
+            dsep_q = lam * k_cross
+            dsep = jnp.zeros_like(sep)
+            dsep = dsep.at[..., p_idx].add(dsep_p)
+            dsep = dsep.at[..., q_idx].add(dsep_q)
+            pos = pos + dpos
+            hd = angle_add(hd, dhd)
+            sep = sep + dsep
+        return pos, hd, sep
 
-    # TPU-unrolled for the same while-loop-overhead reason as
-    # _solve_velocities
-    position, _ = jax.lax.fori_loop(
-        0, iterations, body, (position, depth0),
+    position, heading, _ = jax.lax.fori_loop(
+        0, iterations, body, (position, heading, sep0),
         unroll=jax.default_backend() == "tpu",
     )
-    return position
+    return position, heading
 
 
 def resolve_contacts(
@@ -400,7 +475,7 @@ def resolve_contacts(
         dynamic, 12.0 / jnp.maximum(mass * (length**2 + width**2), 1e-6), 0.0
     )
 
-    touching, normal, depth, point = _contact_geometry(
+    touching, normal, depth, point, point_valid, _ = _contact_geometry(
         pre.position, pre.heading, length, width, active
     )
     any_contact = jnp.any(touching)
@@ -409,7 +484,7 @@ def resolve_contacts(
         v0, w0 = vel_w
         return _solve_velocities(
             v0, w0, pre.position, inv_m, inv_i, touching, normal, point,
-            VELOCITY_ITERATIONS,
+            point_valid, VELOCITY_ITERATIONS,
         )
 
     v, w = jax.lax.cond(
@@ -422,12 +497,15 @@ def resolve_contacts(
     position = pre.position + v * dt
     heading = angle_add(pre.heading, w * dt)
 
-    def correct(p):
+    def correct(ph):
+        p, h = ph
         return _correct_positions(
-            p, heading, length, width, active, inv_m, POSITION_ITERATIONS
+            p, h, length, width, active, inv_m, inv_i, POSITION_ITERATIONS
         )
 
-    position = jax.lax.cond(any_contact, correct, lambda p: p, position)
+    position, heading = jax.lax.cond(
+        any_contact, correct, lambda ph: ph, (position, heading)
+    )
 
     speed = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1), 0.0))
     changed = dynamic

@@ -232,8 +232,12 @@ class ModelConfig:
     # avoids the per-head cache re-layout in HBM)
     use_pallas_attention: bool = True
     # rematerialize transformer layers in the backward pass (trades FLOPs
-    # for the O(T^2) attention-score memory)
-    remat: bool = True
+    # for the O(T^2) attention-score memory). Default OFF: with flash
+    # attention the full-size reference config (256-d, 2+4 layers, global
+    # batch 64 as 4x16 accumulation) FITS v5e HBM without remat and steps
+    # 1.8x faster (828 -> 464 ms/step, tools/profile_train.py round 5);
+    # turn back on for larger models/batches that exceed HBM.
+    remat: bool = False
     # Pallas flash attention for full-sequence decoding (training + exact
     # rollout): the multi-agent causal mask is evaluated blockwise in-kernel
     # and the [B, heads, T, T] score tensor is never materialized in HBM.

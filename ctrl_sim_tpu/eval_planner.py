@@ -32,6 +32,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--synthetic_agents", type=int, default=12)
     p.add_argument("--synthetic_conflict", type=int, default=0)
+    p.add_argument("--synthetic_seed0", type=int, default=0,
+                   help="first synthetic scene seed (held-out evals use an "
+                        "offset disjoint from the training corpus seeds)")
     p.add_argument("--lane_batch", type=int, default=32)
     # planner/adversary tilts (cfgs/policy/ctrl_sim_planner|_adversary.yaml)
     p.add_argument("--planner_tilt", nargs=3, type=float, default=[10.0, 10.0, 10.0],
@@ -54,7 +57,8 @@ def main(argv: list[str] | None = None) -> None:
         n = args.synthetic or 8
         scenes = [
             synthetic_scenario(
-                cfg, seed=s, num_agents=args.synthetic_agents,
+                cfg, seed=args.synthetic_seed0 + s,
+                num_agents=args.synthetic_agents,
                 conflict_pairs=args.synthetic_conflict,
             )
             for s in range(n)

@@ -28,11 +28,17 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--preset", default="ctrl_sim")
     p.add_argument("-o", "--override", action="append", default=[])
     p.add_argument("--ckpt", default=None, help="checkpoint directory")
+    p.add_argument("--ckpt_step", type=int, default=None,
+                   help="restore this saved step instead of the latest "
+                        "(learning-curve evals)")
     p.add_argument("--data_dir", default=None)
     p.add_argument("--limit_files", type=int, default=None)
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--synthetic_agents", type=int, default=12)
     p.add_argument("--synthetic_conflict", type=int, default=0)
+    p.add_argument("--synthetic_seed0", type=int, default=0,
+                   help="first synthetic scene seed (held-out evals use an "
+                        "offset disjoint from the training corpus seeds)")
     p.add_argument("--lane_batch", type=int, default=32)
     p.add_argument("--out", default=None, help="write the metrics JSON here")
     args = p.parse_args(argv)
@@ -50,7 +56,8 @@ def main(argv: list[str] | None = None) -> None:
         n = args.synthetic or 8
         scenes = [
             synthetic_scenario(
-                cfg, seed=s, num_agents=args.synthetic_agents,
+                cfg, seed=args.synthetic_seed0 + s,
+                num_agents=args.synthetic_agents,
                 conflict_pairs=args.synthetic_conflict,
             )
             for s in range(n)
@@ -75,7 +82,7 @@ def main(argv: list[str] | None = None) -> None:
 
         check_checkpoint_normalization(cfg, args.ckpt)
         mgr = CheckpointManager(cfg, args.ckpt)
-        state = mgr.restore(state)
+        state = mgr.restore(state, step=args.ckpt_step)
         print(f"[eval] restored step {int(state.step)} from {args.ckpt}")
 
     evaluator = PolicyEvaluator(cfg, model, state.params, lane_batch=args.lane_batch)

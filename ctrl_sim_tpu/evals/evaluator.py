@@ -166,7 +166,7 @@ class PolicyEvaluator:
             from ctrl_sim_tpu.rollout.ctg_rollout import run_ctg_closed_loop
 
             self._rollout = jax.jit(
-                lambda sb, p, c, r, g: run_ctg_closed_loop(cfg, model, p, sb, c, r)
+                lambda sb, p, c, r, t, g: run_ctg_closed_loop(cfg, model, p, sb, c, r)
             )
         else:
             check_streaming_normalization(cfg)
@@ -175,9 +175,13 @@ class PolicyEvaluator:
                 if cfg.eval.rollout_mode == "streaming"
                 else run_closed_loop
             )
+            # tilt logits are an ARGUMENT, not a closure: a closed-over
+            # device array becomes an MLIR constant, so every tilt value
+            # would compile (and remote-compile-cache) a separate program —
+            # a tilt sweep paid ~4 min per point until round 5 moved it
             self._rollout = jax.jit(
-                lambda sb, p, c, r, g: run_fn(
-                    cfg, model, p, sb, c, r, self.tilt_logits, groups=g
+                lambda sb, p, c, r, t, g: run_fn(
+                    cfg, model, p, sb, c, r, t, groups=g
                 )
             )
 
@@ -244,6 +248,7 @@ class PolicyEvaluator:
                 self.params,
                 jnp.asarray(controlled),
                 sub,
+                self.tilt_logits,
                 jax.tree.map(jnp.asarray, groups),
             )
             acc.update(jax.tree.map(np.asarray, rollout), batch)

@@ -319,7 +319,14 @@ class Decoder(nn.Module):
             mask = mask[None]
 
         x = jnp.concatenate([tokens for tokens, _, _ in groups], axis=1)
-        use_pallas = bool(mc.use_pallas_attention) and jax.default_backend() == "tpu"
+        # the fused kernel's [*, H] blocks need the lane dim 128-aligned
+        # (Mosaic tiling); narrow models (hidden_dim < 128, e.g. the SMALL
+        # artifact configs) take the einsum path on TPU too
+        use_pallas = (
+            bool(mc.use_pallas_attention)
+            and jax.default_backend() == "tpu"
+            and mc.hidden_dim % 128 == 0
+        )
         quantized = cache.k_scale is not None
         new_k, new_v, new_ks, new_vs = [], [], [], []
         for li, layer in enumerate(self.layers):

@@ -92,8 +92,15 @@ def _attn_body(num_heads: int, q, k, v, mask, o_ref):
     # d=32-wide strided lane writes that Mosaic serializes — concatenating
     # in registers and storing [Q, H] once measured 10% off the whole
     # kernel at the production operating point (B=256, Q=32, N=1536;
-    # tools/kernel_microbench.py projfold mode, bit-identical checksum)
-    o_ref[:, :] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+    # tools/kernel_microbench.py projfold mode, bit-identical checksum).
+    # Mosaic requires the concatenated lane dim 128-aligned; narrower
+    # models (H < 128) keep the per-head stores.
+    if H % 128 == 0:
+        o_ref[:, :] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+    else:
+        for h in range(num_heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            o_ref[:, sl] = outs[h].astype(o_ref.dtype)
 
 
 def _decode_kernel(num_heads, q_ref, k_ref, v_ref, mask_ref, o_ref):
@@ -179,8 +186,13 @@ def _attn_body_q8(num_heads, q, k_i8, v_i8, k_scale, v_scale, mask, o_ref):
         outs.append(
             jnp.dot(wv, vf[:, sl], preferred_element_type=jnp.float32) / denom
         )
-    # single concatenated store (see _attn_body)
-    o_ref[:, :] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+    # single concatenated store when 128-aligned (see _attn_body)
+    if H % 128 == 0:
+        o_ref[:, :] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+    else:
+        for h in range(num_heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            o_ref[:, sl] = outs[h].astype(o_ref.dtype)
 
 
 def _decode_kernel_q8(num_heads, q_ref, k_ref, v_ref, ks_ref, vs_ref, mask_ref, o_ref):

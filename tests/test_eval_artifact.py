@@ -161,3 +161,113 @@ def test_packed_slots_ab_within_seed_noise():
             f"{k}: packed delta {max(deltas):.4f} exceeds seed noise "
             f"{seed_spread:.4f}"
         )
+
+
+# ---------------------------------------------------------------------------
+# round-5 artifacts (tools/make_r05_artifacts.py): controllability,
+# adversary, mode A/B, learning curve
+# ---------------------------------------------------------------------------
+
+
+def _sweep_series(sweep: dict, axis: str, seed: int) -> list[tuple[float, dict]]:
+    pts = []
+    pfx = f"seed{seed}_tilt"
+    for k, v in sweep[axis].items():
+        if k.startswith(pfx):
+            pts.append((float(k[len(pfx):]), v))
+    return sorted(pts)
+
+
+def test_tilt_sweep_artifact_monotone_response():
+    """The Fig-4 analog (policies/policy.py:108-142): negative veh-veh
+    tilts must DEGRADE driving (higher ADE, lower goal rate) and positive
+    tilts improve or hold it — checked as an ordering between the strong
+    ends of the sweep for BOTH eval seeds on BOTH corpora, with the middle
+    allowed seed-level noise. Goal tilt: the positive end must not reach a
+    lower goal rate than the negative end (its marginal is near-bimodal, so
+    the response is small but signed)."""
+    sw = _load("eval_r05_tilt_sweep.json")
+    for axis in ("veh_conflict", "veh_normal"):
+        for seed in (0, 1):
+            pts = dict(_sweep_series(sw, axis, seed))
+            assert pts[-50.0]["ade"] > pts[0.0]["ade"] > pts[10.0]["ade"], (
+                axis, seed, {t: p["ade"] for t, p in pts.items()})
+            assert pts[-50.0]["goal"] < pts[10.0]["goal"], (
+                axis, seed, {t: p["goal"] for t, p in pts.items()})
+            # the extreme end keeps degrading (allow a small tolerance for
+            # saturation noise between -50 and -100)
+            assert pts[-100.0]["ade"] > pts[0.0]["ade"], (axis, seed)
+    for seed in (0, 1):
+        pts = dict(_sweep_series(sw, "goal_conflict", seed))
+        assert pts[10.0]["goal"] >= pts[-10.0]["goal"], (
+            seed, {t: p["goal"] for t, p in pts.items()})
+
+
+def test_planner_adversary_r05_collides():
+    """Rounds 3-4 shipped planner artifacts whose adversary never produced
+    one collision (ego_cr_w_adv = adv_coll_speed = 0). The round-5 setting
+    — crossing-course conflict scenes + a model trained on a
+    collision-diverse corpus — must show the adversary actually biting at
+    the REFERENCE's own tilts (planner_adversary_evaluator.py:134-152)."""
+    m = _load("eval_r05_planner.json")
+    for key in ("reference_tilts", "strong_adversary"):
+        assert m[key]["ego_cr_w_adv"] > 0.1, (key, m[key])
+        assert m[key]["adv_coll_speed"] > 1.0, (key, m[key])
+
+
+def test_mode_ab_exact_vs_streaming_bounded():
+    """VERDICT r4 item 4: the one deviation pair that matters for trusting
+    streaming evals. Same checkpoint, same scenes, 2 eval seeds: the
+    exact-vs-streaming gap on goal/CR must stay within ~2x the cross-seed
+    spread of the same metric (i.e. mode deviation is not large relative
+    to ordinary eval noise), and the 2-pass vs 3-pass streaming gap must
+    stay within the cross-seed spread itself."""
+    ab = _load("eval_r05_mode_ab.json")
+
+    def spread(keys, metric):
+        vals = [ab[k][metric] for k in keys]
+        return max(vals) - min(vals)
+
+    for metric, floor in (("goal", 0.04), ("collision_rate", 0.02)):
+        seed_noise = max(
+            spread(("seed0_exact", "seed1_exact"), metric),
+            spread(("seed0_streaming2", "seed1_streaming2"), metric),
+            floor,  # quantization floor at the artifact's scene count
+        )
+        for seed in (0, 1):
+            mode_gap = abs(
+                ab[f"seed{seed}_exact"][metric]
+                - ab[f"seed{seed}_streaming2"][metric]
+            )
+            assert mode_gap <= 2.0 * seed_noise, (
+                metric, seed, mode_gap, seed_noise)
+            passes_gap = abs(
+                ab[f"seed{seed}_streaming2"][metric]
+                - ab[f"seed{seed}_streaming3"][metric]
+            )
+            assert passes_gap <= 1.5 * seed_noise, (
+                metric, seed, passes_gap, seed_noise)
+
+
+def test_learning_curve_artifact():
+    """26k-step x 2-seed learning curve: training must demonstrably help —
+    the endpoint beats the 2k-step start on goal rate and ADE for both
+    seeds — and the endpoint metrics of the two seeds must agree within a
+    loose band (seeded runs of the same recipe)."""
+    c = _load("curve_r05.json")
+    ev = c["eval"]
+    for s in (0, 1):
+        steps = sorted(
+            int(k.split("_step")[1]) for k in ev if k.startswith(f"seed{s}_")
+        )
+        first, last = ev[f"seed{s}_step{steps[0]}"], ev[f"seed{s}_step{steps[-1]}"]
+        assert steps[-1] >= 25000, steps
+        assert last["goal"] > first["goal"], (s, first["goal"], last["goal"])
+        assert last["ade"] < first["ade"], (s, first["ade"], last["ade"])
+    e0 = ev[f"seed0_step{26000}"]
+    e1 = ev[f"seed1_step{26000}"]
+    assert abs(e0["goal"] - e1["goal"]) < 0.15, (e0["goal"], e1["goal"])
+    # the train-loss streams must be present and decreasing overall
+    for s in (0, 1):
+        tl = c["train_loss"][f"seed{s}"]
+        assert tl[0]["total"] > tl[-1]["total"]

@@ -117,16 +117,26 @@ def leg_tilt() -> None:
     # collision rate (conflict-free scenes offer nothing to collide with;
     # the smoke run showed ADE/goal responding but CR flat at the
     # no-opportunity baseline)
-    scenes = _scenes(cfg, n, conflict=1)
+    corpora = {
+        "conflict": _scenes(cfg, n, conflict=1),
+        "normal": _scenes(cfg, n),
+    }
     ev = PolicyEvaluator(cfg, tr.model, state.params, lane_batch=32)
-    sweep: dict = {"veh": {}, "goal": {}, "meta": {
+    sweep: dict = {"meta": {
         "ckpt": CKPT[0], "scenes": n, "scene_seed0": HELD_OUT_SEED0,
-        "mode": "streaming", "conflict_pairs": 1,
+        "mode": "streaming",
     }}
+    # veh axis on both corpora (conflict scenes put controlled agents on
+    # crossing courses — collision opportunities the tilt modulates);
     # goal-RTG marginals are near-bimodal (bins 0/349), so the goal
-    # response saturates by |tilt|~10 — the grid samples the transition
-    for axis, values in (("veh", (-100, -50, -10, 0, 10, 50)),
-                         ("goal", (-10, -3, -1, 0, 1, 3, 10))):
+    # response saturates by |tilt|~10 — its grid samples the transition
+    plan = (
+        ("veh_conflict", "conflict", "veh", (-100, -50, -10, 0, 10, 50)),
+        ("veh_normal", "normal", "veh", (-100, -50, -10, 0, 10, 50)),
+        ("goal_conflict", "conflict", "goal", (-10, -3, -1, 0, 1, 3, 10)),
+    )
+    for key, corpus, axis, values in plan:
+        sweep[key] = {}
         for seed in (0, 1):
             for t in values:
                 ev.cfg = _set_dotted(cfg, "eval.seed", seed)
@@ -134,9 +144,9 @@ def leg_tilt() -> None:
                 ev.tilt_logits = jnp.asarray(
                     get_tilt_logits(gt, vt, 0.0, cfg.waymo)
                 )
-                m = ev.evaluate(scenes)
-                sweep[axis][f"seed{seed}_tilt{t}"] = m
-                print(f"[tilt] {axis} seed{seed} tilt{t}: "
+                m = ev.evaluate(corpora[corpus])
+                sweep[key][f"seed{seed}_tilt{t}"] = m
+                print(f"[tilt] {key} seed{seed} tilt{t}: "
                       f"goal={m['goal']:.3f} cr={m['collision_rate']:.4f} "
                       f"ade={m['ade']:.3f}", flush=True)
     with open(os.path.join(ART, "eval_r05_tilt_sweep.json"), "w") as f:

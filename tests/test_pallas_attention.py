@@ -136,3 +136,31 @@ def test_decode_kernel_q_pad_path_interpret():
     vd = v_i8.astype(jnp.float32) * vs[..., None]
     want8 = _reference(q, kd, vd, mask, heads)
     np.testing.assert_allclose(np.asarray(out8), np.asarray(want8), atol=3e-3)
+
+
+def test_decode_kernel_concat_store_path_interpret():
+    """H a multiple of 128 takes the single concatenated [Q, H] store (the
+    production 256-d path; round 5) instead of per-head strided stores —
+    every earlier case here used H=64, which keeps the per-head branch, so
+    the shipped store structure was untested. Both kernels, vs the einsum
+    reference."""
+    rng = np.random.default_rng(5)
+    B, Q, N, H, heads = 2, 8, 48, 128, 4
+    q = jnp.asarray(rng.normal(size=(B, Q, H)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, N, H)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, N, H)), jnp.float32)
+    mask = jnp.asarray(rng.random((Q, N)) > 0.3).at[:, 0].set(True)
+
+    out = cached_decode_attention(q, k, v, mask, heads, interpret=True)
+    want = _reference(q, k, v, mask, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+
+    k_i8, ks = quantize_rows(k)
+    v_i8, vs = quantize_rows(v)
+    out8 = cached_decode_attention_q8(
+        q, k_i8, v_i8, ks, vs, mask, heads, interpret=True
+    )
+    kd = k_i8.astype(jnp.float32) * ks[..., None]
+    vd = v_i8.astype(jnp.float32) * vs[..., None]
+    want8 = _reference(q, kd, vd, mask, heads)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(want8), atol=3e-3)

@@ -349,3 +349,37 @@ class TestStreamingEquivalence:
         np.testing.assert_allclose(
             np.asarray(last_rtg), np.asarray(full_rtg_last), atol=3e-4, rtol=1e-3
         )
+
+
+def test_project_qkv_matches_separate_projections():
+    """The fused [D, 3D] QKV matmul (round 5, decode_step) must be
+    BIT-identical to the three separate Dense projections in f32 on CPU:
+    each output column block is the same dot product over the same
+    contraction order, so any deviation means the concatenation wired a
+    wrong block order."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ctrl_sim_tpu.models.layers import MultiHeadAttention
+
+    mha = MultiHeadAttention(num_heads=4, d_model=64)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 6, 64)), jnp.float32)
+    params = mha.init(jax.random.PRNGKey(0), x, x, x)
+
+    def fused(p, x):
+        q, k, v = mha.apply(p, x, method=MultiHeadAttention.project_qkv)
+        return q, k, v
+
+    def separate(p, x):
+        q = mha.apply(
+            p, x, method=lambda m, y: m.q_proj(y)
+        )
+        k, v = mha.apply(p, x, x, method=MultiHeadAttention.project_kv)
+        return q, k, v
+
+    for got, want, name in zip(fused(params, x), separate(params, x), "qkv"):
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want), err_msg=name
+        )

@@ -158,3 +158,19 @@ def test_streaming_variant_rollout_runs(family):
     live = ro.position > -1e5
     assert np.isfinite(ro.position[live]).all()
     assert np.isfinite(ro.reward8).all()
+
+
+def test_streaming_rollout_rbg_key(setup):
+    """The bench defaults to BENCH_RNG=rbg (hardware RngBitGenerator keys,
+    +3.8% on TPU round 5); the rollout must accept an impl-typed key —
+    same program, different random stream — and stay finite. threefry
+    remains the default elsewhere for cross-backend reproducibility."""
+    cfg, model, params, sb, sbj = setup
+    controlled = jnp.asarray(sb.moving) & jnp.asarray(sb.agent_valid)
+    ro = jax.jit(
+        lambda s, p, c, r: run_streaming(cfg, model, p, s, c, r, None)
+    )(sbj, params, controlled, jax.random.key(1, impl="rbg"))
+    ro = jax.tree.map(np.asarray, ro)
+    live = ro.position > -1e5
+    assert np.isfinite(ro.position[live]).all()
+    assert np.isfinite(ro.reward8).all()

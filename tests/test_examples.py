@@ -36,8 +36,15 @@ def test_replay_rollout_example():
 def test_tilt_control_example():
     out = _run("tilt_control.py")
     assert "restored step" in out
-    # the dose-response table printed one row per tilt setting
-    assert out.count("0.") >= 9
+    # the dose-response table: one row per tilt setting, negative tilt
+    # degrades (higher ADE than positive)
+    rows = {}
+    for line in out.splitlines():
+        parts = line.split()
+        if len(parts) == 4 and parts[0].lstrip("-").isdigit():
+            rows[float(parts[0])] = float(parts[3])  # tilt -> ADE
+    assert set(rows) == {-50.0, 0.0, 10.0}, out
+    assert rows[-50.0] > rows[10.0], rows
 
 
 @pytest.mark.slow
